@@ -1,0 +1,128 @@
+"""Interleaved 32-state rANS encoder, vectorized for TPU.
+
+TPU-first reformulation of the reference encoder (GpuANSEncode.cuh:50-211):
+
+* The reference assigns one CUDA warp per 4 KiB block and uses
+  ballot/prefix-popc to compact each step's variable-length emissions. Here
+  *all* blocks of all batch members advance in lockstep: state is a
+  (batch, blocks, 32) uint32 tensor and the 128 interleave steps run under
+  ``lax.scan``. The per-step warp ballot becomes a 32-lane masked cumsum.
+* Partial blocks are handled by validity masks instead of a separate kernel
+  (encodeOnePartialWarp semantics: invalid lanes neither emit nor update
+  state).
+* Emissions are not compacted online (that would be a per-step scatter).
+  Each step contributes one (word, mask) pair per lane; compaction to the
+  format's (step-major, lane-ascending) stream order happens once at the
+  end with a cumsum + one paired scatter-add into uint32 stream words.
+
+The archive byte order this produces is identical to the reference's.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.constants import (
+    ANS_START_STATE,
+    ANS_STATE_BITS,
+    BLOCK_SIZE,
+    STEPS_PER_BLOCK,
+    WARP_SIZE,
+    raw_comp_block_max_size,
+)
+from .bitops import u32, umulhi
+from .table import unpack_encode_table
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+# Worst-case uint16 words per block, and uint32 pairs
+MAX_BLOCK_WORDS = raw_comp_block_max_size(BLOCK_SIZE) // 2  # 2560
+MAX_BLOCK_WORDS32 = MAX_BLOCK_WORDS // 2  # 1280
+
+
+def encode_blocks(
+    x_u8: jax.Array,
+    sizes: jax.Array,
+    packed_table: jax.Array,
+    magic_table: jax.Array,
+    prob_bits: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Encode all blocks of a padded batch.
+
+    x_u8: uint8[B, NB*4096] (zero-padded); sizes: int32[B];
+    packed_table/magic_table: uint32[B, 256] from ops.table.
+
+    Returns:
+      states:    uint32[B, NB, 32]  final per-block interleaved states
+      streams32: uint32[B, NB, MAX_BLOCK_WORDS32 + 1] compressed words,
+                 little-endian u16 pairs (last column is a scatter dump slot)
+      num_words: int32[B, NB]       emitted uint16 words per block
+    """
+    B, padded = x_u8.shape
+    NB = padded // BLOCK_SIZE
+    sym = x_u8.astype(I32).reshape(B, NB, STEPS_PER_BLOCK, WARP_SIZE)
+
+    # Pre-gather per-position table entries (one packed word + magic), so the
+    # sequential scan below does no gathers.
+    flat = sym.reshape(B, -1)
+    tab = jnp.take_along_axis(packed_table, flat, axis=1).reshape(sym.shape)
+    mag = jnp.take_along_axis(magic_table, flat, axis=1).reshape(sym.shape)
+
+    pos = jnp.arange(padded, dtype=I32).reshape(NB, STEPS_PER_BLOCK, WARP_SIZE)
+    valid = pos[None] < sizes[:, None, None, None].astype(I32)
+
+    # step-major layout for lax.scan
+    tab = tab.transpose(2, 0, 1, 3)
+    mag = mag.transpose(2, 0, 1, 3)
+    valid = valid.transpose(2, 0, 1, 3)
+
+    state_check_shift = ANS_STATE_BITS - prob_bits
+    prob_mul = u32(1 << prob_bits)
+
+    def step(states, xs):
+        t, m, v = xs
+        pdf, cdf, shift = unpack_encode_table(t)
+        shift = jnp.minimum(shift, u32(31))  # pdf==0 rows are masked out
+
+        write = v & (states >= (pdf << u32(state_check_shift)))
+        word = (states & u32(0xFFFF)).astype(jnp.uint16)
+        states = jnp.where(write, states >> u32(16), states)
+
+        # exact (state / pdf, state % pdf) via magic multiply
+        # (GpuANSEncode.cuh:79-86)
+        q = (umulhi(states, m) + states) >> shift
+        mod = states - q * pdf
+        states = jnp.where(v, q * prob_mul + mod + cdf, states)
+        return states, (word, write)
+
+    init = jnp.full((B, NB, WARP_SIZE), ANS_START_STATE, dtype=U32)
+    states, (words, mask) = jax.lax.scan(step, init, (tab, mag, valid))
+
+    # Compact to format order: step-major, lane-ascending within each block.
+    mask_f = mask.transpose(1, 2, 0, 3).reshape(B, NB, BLOCK_SIZE)
+    words_f = words.transpose(1, 2, 0, 3).reshape(B, NB, BLOCK_SIZE)
+
+    inc = jnp.cumsum(mask_f.astype(I32), axis=2)
+    num_words = inc[:, :, -1]
+    wpos = inc - 1  # exclusive position where mask
+
+    # Pack emissions straight into uint32 pairs:
+    # stream32[p >> 1] |= word << (16 * (p & 1)).
+    dump = MAX_BLOCK_WORDS32  # out-of-range emissions go to the dump column
+    idx32 = jnp.where(mask_f, wpos >> 1, dump)
+    contrib = jnp.where(
+        mask_f,
+        words_f.astype(U32) << (u32(16) * (wpos & 1).astype(U32)),
+        u32(0),
+    )
+    bb = jnp.arange(B, dtype=I32)[:, None, None]
+    nn = jnp.arange(NB, dtype=I32)[None, :, None]
+    streams32 = jnp.zeros((B, NB, MAX_BLOCK_WORDS32 + 1), U32).at[
+        bb, nn, idx32
+    ].add(contrib)
+
+    return states, streams32, num_words

@@ -5,12 +5,19 @@ the addition of a NumPy oracle for byte-exact archive assertions."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment may pin JAX_PLATFORMS to a TPU plugin (e.g. axon); tests
+# must run on the host CPU with 8 virtual devices, so force both the env var
+# and the config (a sitecustomize can re-assert the env var).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
