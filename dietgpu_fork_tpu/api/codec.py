@@ -1,0 +1,473 @@
+"""User-facing batch codec API, mirroring the reference's PyTorch custom ops.
+
+Op-for-op parity with TORCH_LIBRARY(dietgpu) (DietGpu.cpp:921-978):
+
+  max_float_compressed_output_size / max_float_compressed_size
+  max_any_compressed_output_size / max_any_compressed_size
+  compress_data / compress_data_split_size / compress_data_simple
+  decompress_data / decompress_data_split_size / decompress_data_simple
+
+plus the sparse entry points the reference only exposes from C++
+(floatCompressSparse / floatDecompressSparse).
+
+Inputs are JAX or NumPy arrays. Lists of unequal-length members are packed
+into a padded row matrix (the device codec's native Stride layout); the
+split-size variants take one contiguous device array and never leave the
+device. Each compress/decompress entry returns the reference's temp-memory
+high-water estimate (runtime/stack_memory.py) in place of
+StackDeviceMemory::getMaxMemoryUsage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+
+from ..core.constants import (
+    DEFAULT_PROB_BITS,
+    FLOAT_WORD_SIZE,
+    FloatType,
+    max_compressed_size,
+    max_float_compressed_size,
+    max_sparse_float_compressed_size,
+)
+from ..models.ans import (
+    ans_decode_padded,
+    ans_encode_padded,
+    ans_get_compressed_info,
+)
+from ..models.float_codec import (
+    float_compress_padded,
+    float_decompress_core,
+    float_get_compressed_info,
+)
+from ..models.sparse import (
+    sparse_float_compress_padded,
+    sparse_float_decompress_core,
+)
+from ..ops.bitops import bitcast_u8_to_u32
+from ..runtime import stack_memory as sm
+
+I32 = jnp.int32
+
+
+_jit_float_compress = jax.jit(
+    float_compress_padded,
+    static_argnames=("float_type", "prob_bits", "use_checksum", "out_bytes"),
+)
+_jit_sparse_compress = jax.jit(
+    sparse_float_compress_padded,
+    static_argnames=("float_type", "prob_bits", "use_checksum", "out_bytes"),
+)
+_jit_ans_encode = jax.jit(
+    ans_encode_padded,
+    static_argnames=("prob_bits", "use_checksum", "out_bytes"),
+)
+_jit_ans_decode = jax.jit(
+    ans_decode_padded, static_argnames=("out_capacity", "prob_bits")
+)
+_jit_float_decompress = jax.jit(
+    float_decompress_core,
+    static_argnames=("out_floats", "float_type", "prob_bits"),
+)
+_jit_sparse_decompress = jax.jit(
+    sparse_float_decompress_core,
+    static_argnames=("out_floats", "float_type", "prob_bits"),
+)
+
+_DTYPE_TO_FT = {
+    np.dtype(np.float16): FloatType.FLOAT16,
+    np.dtype(ml_dtypes.bfloat16): FloatType.BFLOAT16,
+    np.dtype(np.float32): FloatType.FLOAT32,
+    np.dtype(np.float64): FloatType.FLOAT64,
+}
+_FT_TO_DTYPE = {v: k for k, v in _DTYPE_TO_FT.items()}
+_FT_TO_UINT = {
+    FloatType.FLOAT16: np.uint16,
+    FloatType.BFLOAT16: np.uint16,
+    FloatType.FLOAT32: np.uint32,
+    FloatType.FLOAT64: np.uint64,
+}
+
+
+def float_type_of(x) -> FloatType:
+    dt = np.dtype(x.dtype) if hasattr(x, "dtype") else np.dtype(x)
+    if dt == np.dtype(jnp.bfloat16):
+        return FloatType.BFLOAT16
+    if dt not in _DTYPE_TO_FT:
+        raise ValueError(f"unsupported float dtype {dt}")
+    return _DTYPE_TO_FT[dt]
+
+
+def dtype_of(ft: FloatType) -> np.dtype:
+    return _FT_TO_DTYPE[FloatType(ft)]
+
+
+@dataclasses.dataclass
+class DecompressStatus:
+    """Mirrors ANSDecodeStatus / FloatDecompressStatus
+    (GpuANSCodec.h:45-59, GpuFloatCodec.h:85-99)."""
+
+    ok: bool = True
+    error: str = "none"
+    error_info: List[Tuple[int, str]] = dataclasses.field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# Sizing queries (DietGpu.cpp:128-153)
+# ---------------------------------------------------------------------------
+
+
+def max_float_compressed_output_size(ts: Sequence) -> Tuple[int, int]:
+    ft = float_type_of(ts[0])
+    max_elems = max((int(np.prod(t.shape)) for t in ts), default=0)
+    return len(ts), max_float_compressed_size(ft, max_elems)
+
+
+def max_any_compressed_output_size(ts: Sequence) -> Tuple[int, int]:
+    max_bytes = max(
+        (int(np.prod(t.shape)) * np.dtype(t.dtype).itemsize for t in ts),
+        default=0,
+    )
+    return len(ts), max_compressed_size(max_bytes)
+
+
+max_float_compressed_size = max_float_compressed_size  # re-export
+max_any_compressed_size = max_compressed_size
+
+
+# ---------------------------------------------------------------------------
+# Packing helpers
+# ---------------------------------------------------------------------------
+
+
+def _as_bytes_np(t) -> np.ndarray:
+    a = np.asarray(t)
+    return a.reshape(-1).view(np.uint8)
+
+
+def _pack_byte_rows(ts: Sequence, row_bytes: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack a list of arrays into a zero-padded uint8 row matrix. Rows are
+    padded to a multiple of 4 bytes for uint32 viewing."""
+    row_bytes = max(4, -(-row_bytes // 4) * 4)
+    buf = np.zeros((len(ts), row_bytes), np.uint8)
+    sizes = np.zeros(len(ts), np.int32)
+    for i, t in enumerate(ts):
+        b = _as_bytes_np(t)
+        buf[i, : b.size] = b
+        sizes[i] = b.size
+    return buf, sizes
+
+
+def pack_split_rows(x_flat: jax.Array, split_sizes: Sequence[int]):
+    """Device-side ragged-to-padded packing for the SplitSize convention:
+    one contiguous array -> (B, S) padded rows, no host round trip."""
+    split_sizes = np.asarray(split_sizes, np.int64)
+    offs = np.concatenate([[0], np.cumsum(split_sizes)[:-1]])
+    S = int(split_sizes.max()) if split_sizes.size else 1
+    x_flat = x_flat.reshape(-1)
+    idx = jnp.asarray(offs, I32)[:, None] + jnp.arange(S, dtype=I32)[None, :]
+    idx = jnp.clip(idx, 0, x_flat.shape[0] - 1)
+    rows = jnp.take(x_flat, idx)
+    mask = jnp.arange(S, dtype=I32)[None, :] < jnp.asarray(split_sizes, I32)[:, None]
+    return jnp.where(mask, rows, jnp.zeros((), rows.dtype)), jnp.asarray(
+        split_sizes, I32
+    )
+
+
+def _float_rows_to_u32(ts: Sequence, ft: FloatType):
+    ws = FLOAT_WORD_SIZE[ft]
+    max_elems = max((int(np.prod(t.shape)) for t in ts), default=1)
+    max_elems = max(max_elems, 1)
+    buf, _ = _pack_byte_rows(ts, max_elems * ws)
+    sizes = np.array([int(np.prod(t.shape)) for t in ts], np.int32)
+    return jnp.asarray(buf.view(np.uint32)), jnp.asarray(sizes), max_elems
+
+
+# ---------------------------------------------------------------------------
+# Compress (DietGpu.cpp:161-528)
+# ---------------------------------------------------------------------------
+
+
+def compress_data(
+    compress_as_float: bool,
+    ts: Sequence,
+    checksum: bool = False,
+    prob_bits: int = DEFAULT_PROB_BITS,
+    sparse: bool = False,
+) -> Tuple[jax.Array, jax.Array, int]:
+    """Batch compress. Returns (comp uint8[B, maxCompSize], sizes int[B],
+    temp_mem_estimate). Output rows are zero-padded past the reported size."""
+    if not len(ts):
+        raise ValueError("empty batch")
+    if compress_as_float:
+        ft = float_type_of(ts[0])
+        for t in ts:
+            if float_type_of(t) != ft:
+                raise ValueError("all batch members must share a dtype")
+        data32, sizes, max_elems = _float_rows_to_u32(ts, ft)
+        fn = _jit_sparse_compress if sparse else _jit_float_compress
+        comp, comp_bytes = fn(
+            data32, sizes, float_type=ft, prob_bits=prob_bits,
+            use_checksum=checksum,
+        )
+        temp = sm.float_compress_temp_size(len(ts), max_elems, ft)
+    else:
+        max_bytes = max(
+            (int(np.prod(t.shape)) * np.dtype(t.dtype).itemsize for t in ts),
+            default=1,
+        )
+        buf, sizes = _pack_byte_rows(ts, max(max_bytes, 1))
+        comp, comp_bytes = _jit_ans_encode(
+            jnp.asarray(buf), jnp.asarray(sizes), prob_bits=prob_bits,
+            use_checksum=checksum,
+        )
+        temp = sm.ans_encode_temp_size(len(ts), max(max_bytes, 1))
+    return comp, comp_bytes, temp
+
+
+def compress_data_split_size(
+    compress_as_float: bool,
+    t: jax.Array,
+    split_sizes: Sequence[int],
+    checksum: bool = False,
+    prob_bits: int = DEFAULT_PROB_BITS,
+) -> Tuple[jax.Array, jax.Array, int]:
+    """One contiguous input + host split sizes (element counts). Stays on
+    device. Interior raw-ANS splits must be 4-byte aligned
+    (kANSRequiredAlignment, DietGpu.cpp:376-384)."""
+    split_sizes = [int(s) for s in split_sizes]
+    if any(s <= 0 for s in split_sizes):
+        raise ValueError("split sizes must be positive")
+    if compress_as_float:
+        ft = float_type_of(t)
+        ws = FLOAT_WORD_SIZE[ft]
+        flat = jnp.asarray(t).reshape(-1)
+        if ft == FloatType.FLOAT64:
+            # pack as (lo, hi) uint32 pairs
+            v = jnp.asarray(np.asarray(flat).view(np.uint64))
+            rows, sizes = pack_split_rows(v, split_sizes)
+            B, S = rows.shape
+            lo = (rows & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+            hi = (rows >> jnp.uint64(32)).astype(jnp.uint32)
+            data32 = jnp.stack([lo, hi], axis=2).reshape(B, -1)
+        else:
+            u = _FT_TO_UINT[ft]
+            v = jnp.asarray(np.asarray(flat).view(u))
+            rows, sizes = pack_split_rows(v, split_sizes)
+            if ws == 2:
+                B, S = rows.shape
+                pad = (-S) % 2
+                if pad:
+                    rows = jnp.pad(rows, ((0, 0), (0, pad)))
+                r = rows.astype(jnp.uint32).reshape(B, -1, 2)
+                data32 = r[..., 0] | (r[..., 1] << jnp.uint32(16))
+            else:
+                data32 = rows
+        comp, comp_bytes = _jit_float_compress(
+            data32, sizes, float_type=ft, prob_bits=prob_bits,
+            use_checksum=checksum,
+        )
+        temp = sm.float_compress_temp_size(len(split_sizes), max(split_sizes), ft)
+    else:
+        for s in split_sizes[:-1]:
+            if s % 4 != 0:
+                raise ValueError(
+                    "interior raw-ANS splits must be 4-byte aligned"
+                )
+        flat = jnp.asarray(t).reshape(-1)
+        flat_u8 = jax.lax.bitcast_convert_type(flat, jnp.uint8).reshape(-1)
+        item = np.dtype(t.dtype).itemsize
+        byte_sizes = [s * item for s in split_sizes]
+        rows, sizes = pack_split_rows(flat_u8, byte_sizes)
+        pad = (-rows.shape[1]) % 4
+        if pad:
+            rows = jnp.pad(rows, ((0, 0), (0, pad)))
+        comp, comp_bytes = _jit_ans_encode(
+            rows, sizes, prob_bits=prob_bits, use_checksum=checksum
+        )
+        temp = sm.ans_encode_temp_size(len(split_sizes), max(byte_sizes))
+    return comp, comp_bytes, temp
+
+
+def compress_data_simple(
+    compress_as_float: bool,
+    ts: Sequence,
+    checksum: bool = False,
+    prob_bits: int = DEFAULT_PROB_BITS,
+    sparse: bool = False,
+) -> List[np.ndarray]:
+    """Synchronous convenience: returns exact-size archives
+    (DietGpu.cpp:474-528)."""
+    comp, comp_bytes, _ = compress_data(
+        compress_as_float, ts, checksum, prob_bits, sparse
+    )
+    comp = np.asarray(comp)
+    comp_bytes = np.asarray(comp_bytes)
+    return [comp[i, : int(comp_bytes[i])].copy() for i in range(len(ts))]
+
+
+# ---------------------------------------------------------------------------
+# Decompress (DietGpu.cpp:536-917)
+# ---------------------------------------------------------------------------
+
+
+def _comp_matrix(comps: Union[Sequence, jax.Array]) -> jax.Array:
+    if hasattr(comps, "ndim") and comps.ndim == 2:
+        m = jnp.asarray(comps)
+        pad = (-m.shape[1]) % 4
+        return jnp.pad(m, ((0, 0), (0, pad))) if pad else m
+    buf, _ = _pack_byte_rows(list(comps), max(c.shape[0] for c in comps))
+    return jnp.asarray(buf)
+
+
+def _checksum_status(ok_arr, arch, got) -> DecompressStatus:
+    status = DecompressStatus()
+    arch = np.asarray(arch)
+    got = np.asarray(got)
+    for i in range(arch.shape[0]):
+        if arch[i] != got[i]:
+            status.ok = False
+            status.error = "checksum_mismatch"
+            status.error_info.append(
+                (i, f"expected checksum {int(arch[i]):#x} got {int(got[i]):#x}")
+            )
+    return status
+
+
+def decompress_data(
+    compress_as_float: bool,
+    comps: Union[Sequence, jax.Array],
+    out_capacities: Sequence[int],
+    dtype=None,
+    checksum: bool = False,
+    prob_bits: int = DEFAULT_PROB_BITS,
+    sparse: bool = False,
+):
+    """Batch decompress into capacity-bounded outputs.
+
+    Returns (list of arrays sliced to the decoded size, sizes int[B],
+    success bool[B], status, temp_mem_estimate). Raises on checksum mismatch
+    when checksum=True, like the torch binding (DietGpu.cpp:623-626).
+    """
+    m = _comp_matrix(comps)
+    B = m.shape[0]
+    caps = np.asarray(list(out_capacities), np.int32)
+    cap = int(caps.max()) if caps.size else 1
+
+    if compress_as_float:
+        ft = float_type_of(dtype) if dtype is not None else FloatType(
+            int(np.asarray(float_get_compressed_info(m)[1])[0])
+        )
+        if sparse:
+            words32, success, sizes, ca, cg = _jit_sparse_decompress(
+                bitcast_u8_to_u32(m), out_floats=max(cap, 1), float_type=ft,
+                prob_bits=prob_bits, capacities=jnp.asarray(caps))
+        else:
+            words32, success, sizes, ca, cg = _jit_float_decompress(
+                bitcast_u8_to_u32(m), jnp.zeros((B,), I32),
+                out_floats=max(cap, 1), float_type=ft, prob_bits=prob_bits,
+                capacities=jnp.asarray(caps))
+        out_np = np.asarray(words32).view(np.uint8)
+        sizes_np = np.asarray(sizes)
+        dt = dtype_of(ft)
+        ws = FLOAT_WORD_SIZE[ft]
+        outs = [
+            out_np[i, : min(int(sizes_np[i]), caps[i]) * ws].view(dt).copy()
+            for i in range(B)
+        ]
+        status = (
+            _checksum_status(success, ca, cg) if checksum else DecompressStatus()
+        )
+        temp = sm.float_decompress_temp_size(B, cap, ft, prob_bits)
+    else:
+        out, success, sizes, arch_csum = _jit_ans_decode(
+            m, out_capacity=max(cap, 1), prob_bits=prob_bits,
+            capacities=jnp.asarray(caps))
+        out_np = np.asarray(out)
+        sizes_np = np.asarray(sizes)
+        outs = [
+            out_np[i, : min(int(sizes_np[i]), caps[i])].copy() for i in range(B)
+        ]
+        if checksum:
+            from ..ops.checksum import checksum_batched
+
+            got = checksum_batched(out, sizes.astype(I32))
+            status = _checksum_status(success, arch_csum, got)
+        else:
+            status = DecompressStatus()
+        temp = sm.ans_decode_temp_size(B, prob_bits)
+
+    if checksum and not status.ok:
+        raise RuntimeError(f"decompression checksum mismatch: {status.error_info}")
+    return outs, sizes_np, np.asarray(success), status, temp
+
+
+def decompress_data_split_size(
+    compress_as_float: bool,
+    comps: Union[Sequence, jax.Array],
+    out_split_sizes: Sequence[int],
+    dtype=None,
+    checksum: bool = False,
+    prob_bits: int = DEFAULT_PROB_BITS,
+):
+    """Decompress into one contiguous array with per-member split sizes
+    (element counts). Decoded sizes must match exactly (DietGpu.cpp:685-825)."""
+    outs, sizes, success, status, temp = decompress_data(
+        compress_as_float, comps, out_split_sizes, dtype, checksum, prob_bits
+    )
+    for i, (o, s) in enumerate(zip(outs, out_split_sizes)):
+        if o.size != s:
+            raise RuntimeError(
+                f"member {i}: decoded size {int(sizes[i])} != expected {s}"
+            )
+    return np.concatenate(outs), sizes, success, status, temp
+
+
+def decompress_data_simple(
+    compress_as_float: bool,
+    comps: Sequence,
+    checksum: bool = False,
+    prob_bits: int = DEFAULT_PROB_BITS,
+    sparse: bool = False,
+):
+    """Reads archive headers to learn sizes/dtypes, allocates outputs,
+    decompresses (DietGpu.cpp:827-917)."""
+    m = _comp_matrix(comps)
+    if compress_as_float:
+        if sparse:
+            m32 = bitcast_u8_to_u32(m)
+            total = np.asarray(m32[:, 0])
+            # dense header sits after the sparse header + bitmap; read via
+            # the first member's layout
+            from ..core.constants import sparse_bitmap_bytes
+
+            off = 16 + sparse_bitmap_bytes(int(total[0]))
+            ftypes = np.asarray(
+                float_get_compressed_info(m[:, off : off + 16])[1]
+            )
+            sizes = total
+        else:
+            sizes, ftypes, _ = (
+                np.asarray(x) for x in float_get_compressed_info(m)
+            )
+        ft = FloatType(int(ftypes[0]))
+        outs, _, success, status, _ = decompress_data(
+            True, m, [int(s) for s in sizes], dtype_of(ft), checksum,
+            prob_bits, sparse,
+        )
+    else:
+        sizes, _ = ans_get_compressed_info(m)
+        outs, _, success, status, _ = decompress_data(
+            False, m, [int(s) for s in np.asarray(sizes)], None, checksum,
+            prob_bits,
+        )
+    if not np.all(success):
+        raise RuntimeError("decompression failed")
+    return outs

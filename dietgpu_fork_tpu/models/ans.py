@@ -117,19 +117,17 @@ def _assemble_archives(
     return jnp.where(j < end, out, u32(0))
 
 
-def ans_encode_padded(
+def ans_encode_core(
     x_u8: jax.Array,
     sizes: jax.Array,
     prob_bits: int = 10,
     use_checksum: bool = False,
     hist: Optional[jax.Array] = None,
-    out_bytes: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Compress batch rows to coalesced ANS archives.
+    """Compress batch rows to coalesced ANS archives in uint32 words.
 
     x_u8: uint8[B, S] row-padded inputs; sizes: int32[B] valid byte counts.
-    Returns (comp uint8[B, CB], comp_bytes uint32[B]); CB defaults to the
-    reference's ``max_compressed_size(S)`` buffer contract.
+    Returns (out32 uint32[B, CW_tight], comp_bytes uint32[B]).
     """
     B, S = x_u8.shape
     NB = max(1, -(-S // BLOCK_SIZE))
@@ -183,46 +181,65 @@ def ans_encode_padded(
     _, data_off = _layout(nb)
     comp_bytes = (4 * data_off + 2 * total_words.astype(I32)).astype(U32)
 
-    # tight internal buffer; pad rows to the API contract at the end
-    cb = out_bytes if out_bytes is not None else max_compressed_size(S)
-    # worst case for NB blocks: metadata + fully incompressible streams
+    # tight buffer: metadata + fully incompressible streams for NB blocks
     tight_need = (
         4 * _META_WORDS + 128 * NB + 8 * ((NB + 1) // 2 * 2)
         + 4 * MAX_BLOCK_WORDS32 * NB
     )
-    tight = min(cb, -(-tight_need // 16) * 16)
+    tight = min(max_compressed_size(S), -(-tight_need // 16) * 16)
     out32 = _assemble_archives(
         hdr8, pdf, states, uncomp_w, num_words, prefix, streams32, nb,
         total_words.astype(I32), tight // 4,
     )
+    return out32, comp_bytes
+
+
+def ans_encode_padded(
+    x_u8: jax.Array,
+    sizes: jax.Array,
+    prob_bits: int = 10,
+    use_checksum: bool = False,
+    hist: Optional[jax.Array] = None,
+    out_bytes: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Byte-row wrapper around ans_encode_core with the reference's
+    ``max_compressed_size`` output-buffer contract (zero padded)."""
+    S = x_u8.shape[1]
+    out32, comp_bytes = ans_encode_core(x_u8, sizes, prob_bits, use_checksum, hist)
     comp = bitcast_u32_to_u8(out32)
-    if tight < cb:
-        comp = jnp.pad(comp, ((0, 0), (0, cb - tight)))
+    cb = out_bytes if out_bytes is not None else max_compressed_size(S)
+    if comp.shape[1] < cb:
+        comp = jnp.pad(comp, ((0, 0), (0, cb - comp.shape[1])))
     return comp, comp_bytes
 
 
-def ans_decode_padded(
-    comp_u8: jax.Array,
+def ans_decode_core(
+    comp32: jax.Array,
+    base32: jax.Array,
     out_capacity: int,
     prob_bits: int = 10,
     capacities: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Decompress archive rows.
-
-    comp_u8: uint8[B, CB]; out_capacity: static row width of the output.
-    capacities: optional int32[B] logical per-member capacities
-    (defaults to out_capacity).
+    """Decode ANS archives located at per-member uint32 offsets ``base32``
+    within the rows of ``comp32`` (the float codec places its ANS segments at
+    dynamic offsets past headers and raw sections).
 
     Returns (out uint8[B, out_capacity], success bool[B], sizes uint32[B],
     archive_checksum uint32[B]). Mirrors ansDecodeKernel's capacity check:
     members whose decoded size exceeds capacity fail and report the required
     size (GpuANSDecode.cuh:326-337).
     """
-    B = comp_u8.shape[0]
-    comp32 = bitcast_u8_to_u32(comp_u8)
+    B, CW = comp32.shape
     NB = max(1, -(-out_capacity // BLOCK_SIZE))
+    base32 = base32.astype(I32)
 
-    hdr = comp32[:, :8]
+    def row_gather(idx):
+        idx = jnp.clip(base32.reshape(B, *([1] * (idx.ndim - 1))) + idx, 0, CW - 1)
+        return jnp.take_along_axis(comp32, idx.reshape(B, -1), axis=1).reshape(
+            idx.shape
+        )
+
+    hdr = row_gather(jnp.broadcast_to(jnp.arange(8, dtype=I32), (B, 8)))
     nb_arch = hdr[:, 1].astype(I32)
     n = hdr[:, 2].astype(I32)
     csum = hdr[:, 5]
@@ -232,7 +249,7 @@ def ans_decode_padded(
     success = n <= capacities.astype(I32)
 
     # unpack pdf table
-    pw = comp32[:, 8:136]
+    pw = row_gather(jnp.broadcast_to(8 + jnp.arange(128, dtype=I32), (B, 128)))
     pdf = jnp.stack([pw & u32(0xFFFF), pw >> u32(16)], axis=2).reshape(
         B, NUM_SYMBOLS
     )
@@ -243,15 +260,8 @@ def ans_decode_padded(
     blk = jnp.arange(NB, dtype=I32)[None, :]
     live = (blk < nb[:, None]) & success[:, None]
 
-    CW = comp32.shape[1]
-
-    def row_gather(idx):
-        idx = jnp.clip(idx, 0, CW - 1)
-        return jnp.take_along_axis(comp32, idx.reshape(B, -1), axis=1)
-
     st_idx = _META_WORDS + blk[:, :, None] * 32 + jnp.arange(32, dtype=I32)
-    st_idx = jnp.broadcast_to(st_idx, (B, NB, 32))
-    states = row_gather(st_idx).reshape(B, NB, 32)
+    states = row_gather(jnp.broadcast_to(st_idx, (B, NB, 32)))
 
     bw_off, data_off = _layout(nb_arch)
     bx = row_gather(bw_off[:, None] + 2 * blk)
@@ -261,7 +271,8 @@ def ans_decode_padded(
     starts = jnp.where(live, by.astype(I32), 0)
 
     out_blocks = decode_blocks(
-        comp32, data_off, starts, comp_w, uncomp_w, states, lut, prob_bits
+        comp32, base32 + data_off, starts, comp_w, uncomp_w, states, lut,
+        prob_bits,
     )
     out = out_blocks.reshape(B, NB * BLOCK_SIZE)[:, :out_capacity]
     pos = jnp.arange(out_capacity, dtype=I32)[None, :]
@@ -269,6 +280,20 @@ def ans_decode_padded(
         (pos < n[:, None]) & success[:, None], out, jnp.uint8(0)
     )
     return out, success, n.astype(U32), csum
+
+
+def ans_decode_padded(
+    comp_u8: jax.Array,
+    out_capacity: int,
+    prob_bits: int = 10,
+    capacities: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Byte-row wrapper around ans_decode_core (archives at row starts)."""
+    B = comp_u8.shape[0]
+    comp32 = bitcast_u8_to_u32(comp_u8)
+    return ans_decode_core(
+        comp32, jnp.zeros((B,), I32), out_capacity, prob_bits, capacities
+    )
 
 
 def ans_get_compressed_info(comp_u8: jax.Array):

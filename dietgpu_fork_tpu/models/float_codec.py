@@ -1,0 +1,317 @@
+"""Batched float codec pipelines: split + ANS compose, on device.
+
+TPU equivalent of floatCompressDevice / floatDecompressDevice
+(GpuFloatCompress.cuh:670-874, GpuFloatDecompress.cuh:900-1073). Structure:
+
+* compress: split (elementwise bit ops, fused by XLA) -> per-plane ANS
+  encode (1 plane; 2 independent planes for fp64) -> one gather-cascade
+  assembly placing header, raw sections, and ANS archive(s) in the archive
+  layout. The reference's fused split+histogram is recovered because the
+  split and the histogram read the same fused producer.
+* decompress: header parse -> per-plane ANS decode at dynamic offsets ->
+  section gathers -> join. The reference's fused decode-join (JoinFloatWriter)
+  is an optimization against a second pass over HBM; here join is a separate
+  fused elementwise consumer of the decode output (the Pallas decode kernel
+  fuses it properly).
+
+fp64 is two ANS planes; the byte offset of the second is recorded in the
+second header word exactly as GpuFloatHeader2 does (GpuFloatUtils.cuh:78-96).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.constants import (
+    FLOAT_NUM_COMP_SEGMENTS,
+    FLOAT_WORD_SIZE,
+    FloatType,
+    max_compressed_size,
+    max_float_compressed_size,
+)
+from ..ops.bitops import bitcast_u32_to_u8, u32
+from ..ops.checksum import checksum_batched
+from ..ops.float_split import join_words32, split_words32
+from .ans import ans_decode_core, ans_encode_core
+
+I32 = jnp.int32
+U32 = jnp.uint32
+U16 = jnp.uint16
+U8 = jnp.uint8
+
+_FLOAT_MAGIC_VERSION = (0xF00F << 16) | 0x0001
+
+
+def _floats_capacity(W32: int, ft: FloatType) -> int:
+    ws = FLOAT_WORD_SIZE[ft]
+    return (W32 * 4) // ws
+
+
+def _words32(n_floats: int, ft: FloatType) -> int:
+    ws = FLOAT_WORD_SIZE[ft]
+    return -(-(n_floats * ws) // 4)
+
+
+def _section_word_counts(n, ft: FloatType):
+    """Per-member uint32 word counts of the raw sections (each 16B aligned;
+    reference: getUncompDataSize per type, GpuFloatUtils.cuh). Works on
+    traced arrays and Python ints alike."""
+    r = lambda x, m: -(-x // m) * m  # noqa: E731
+    if ft in (FloatType.FLOAT16, FloatType.BFLOAT16):
+        return r(n, 16) // 4, n * 0
+    if ft == FloatType.FLOAT32:
+        return r(n, 8) // 2, r(n, 16) // 4
+    if ft == FloatType.FLOAT64:
+        return r(n, 4), r(n, 8) // 2
+    raise ValueError(ft)
+
+
+def _pack_u8(sec: jax.Array, n: jax.Array) -> jax.Array:
+    """uint8[B, S] -> masked, zero-padded (little-endian) uint32[B, ceil(S/4)]."""
+    B, S = sec.shape
+    pos = jnp.arange(S, dtype=I32)[None, :]
+    sec = jnp.where(pos < n[:, None], sec, U8(0))
+    pad = (-S) % 4
+    if pad:
+        sec = jnp.pad(sec, ((0, 0), (0, pad)))
+    v = sec.astype(U32).reshape(B, -1, 4)
+    return v[..., 0] | (v[..., 1] << u32(8)) | (v[..., 2] << u32(16)) | (
+        v[..., 3] << u32(24)
+    )
+
+
+def _pack_u16(sec: jax.Array, n: jax.Array) -> jax.Array:
+    B, S = sec.shape
+    pos = jnp.arange(S, dtype=I32)[None, :]
+    sec = jnp.where(pos < n[:, None], sec, U16(0))
+    pad = (-S) % 2
+    if pad:
+        sec = jnp.pad(sec, ((0, 0), (0, pad)))
+    v = sec.astype(U32).reshape(B, -1, 2)
+    return v[..., 0] | (v[..., 1] << u32(16))
+
+
+def _pack_u32(sec: jax.Array, n: jax.Array) -> jax.Array:
+    pos = jnp.arange(sec.shape[1], dtype=I32)[None, :]
+    return jnp.where(pos < n[:, None], sec.astype(U32), u32(0))
+
+
+def float_compress_core(
+    data32: jax.Array,
+    n: jax.Array,
+    float_type: FloatType,
+    prob_bits: int = 10,
+    use_checksum: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Compress uint32-packed float rows.
+
+    data32: uint32[B, W32] packed float words; n: int32[B] float counts.
+    Returns (out32 uint32[B, CWf], comp_bytes uint32[B]).
+    """
+    ft = FloatType(float_type)
+    B, W32 = data32.shape
+    S_cap = _floats_capacity(W32, ft)
+    ws = FLOAT_WORD_SIZE[ft]
+    n = n.astype(I32)
+
+    csum = (
+        checksum_batched(bitcast_u32_to_u8(data32), n * ws)
+        if use_checksum
+        else jnp.zeros((B,), U32)
+    )
+
+    comp_planes, noncomp = split_words32(data32, S_cap, ft)
+
+    # ANS-encode each exponent plane (independent archives; fp64 has two —
+    # RUN_ANS, GpuFloatCompress.cuh:807-869)
+    segs = []
+    seg_bytes = []
+    for plane in comp_planes:
+        a32, ab = ans_encode_core(plane, n, prob_bits, use_checksum=False)
+        segs.append(a32)
+        seg_bytes.append(ab.astype(I32))
+
+    # pre-pack raw sections into uint32 space
+    if ft in (FloatType.FLOAT16, FloatType.BFLOAT16):
+        packed_secs = [_pack_u8(noncomp[0], n)]
+    elif ft == FloatType.FLOAT32:
+        packed_secs = [_pack_u16(noncomp[0], n), _pack_u8(noncomp[1], n)]
+    else:
+        packed_secs = [_pack_u32(noncomp[0], n), _pack_u16(noncomp[1], n)]
+
+    # zero-pad each section to its 16B-aligned capacity so the assembly
+    # gather reads zeros (not clip-repeats) in the alignment tail
+    sw_caps = _section_word_counts(S_cap, ft)
+    packed_secs = [
+        jnp.pad(s, ((0, 0), (0, max(int(c) - s.shape[1], 0))))
+        for s, c in zip(packed_secs, sw_caps)
+    ]
+
+    s1w, s2w = _section_word_counts(n, ft)
+    first_seg = seg_bytes[0] if len(segs) > 1 else jnp.zeros((B,), I32)
+    hdr = jnp.stack(
+        [
+            jnp.full((B,), _FLOAT_MAGIC_VERSION, U32),
+            n.astype(U32),
+            jnp.full((B,), int(ft) | (int(use_checksum) << 4), U32),
+            csum,
+            first_seg.astype(U32),
+            jnp.zeros((B,), U32),
+            jnp.zeros((B,), U32),
+            jnp.zeros((B,), U32),
+        ],
+        axis=1,
+    )
+
+    # region offsets (uint32 words, per member)
+    o1 = 8 + s1w
+    o2 = o1 + s2w
+    a1 = o2 + (seg_bytes[0] >> 2)
+    end = a1 + ((seg_bytes[1] >> 2) if len(segs) > 1 else 0)
+
+    s1w_cap, s2w_cap = _section_word_counts(S_cap, ft)
+    tight = 4 * (8 + s1w_cap + s2w_cap) + sum(s.shape[1] * 4 for s in segs)
+    CWf = min(max_float_compressed_size(ft, S_cap), tight) // 4
+
+    j = jnp.arange(CWf, dtype=I32)[None, :]
+
+    def gat(arr, idx):
+        return jnp.take_along_axis(
+            arr, jnp.clip(idx, 0, arr.shape[1] - 1), axis=1
+        )
+
+    out = gat(hdr, j)
+    out = jnp.where(j >= 8, gat(packed_secs[0], j - 8), out)
+    if len(packed_secs) > 1:
+        out = jnp.where(
+            j >= o1[:, None], gat(packed_secs[1], j - o1[:, None]), out
+        )
+    out = jnp.where(j >= o2[:, None], gat(segs[0], j - o2[:, None]), out)
+    if len(segs) > 1:
+        out = jnp.where(
+            j >= a1[:, None], gat(segs[1], j - a1[:, None]), out
+        )
+    out = jnp.where(j < end[:, None], out, u32(0))
+
+    comp_bytes = (4 * end).astype(U32)
+    return out, comp_bytes
+
+
+def float_decompress_core(
+    comp32: jax.Array,
+    base32: jax.Array,
+    out_floats: int,
+    float_type: FloatType,
+    prob_bits: int = 10,
+    capacities: Optional[jax.Array] = None,
+):
+    """Decompress float archives at per-member uint32 offsets base32.
+
+    Returns (words32 uint32[B, W32cap], success bool[B], n uint32[B],
+    archive_checksum uint32[B], computed_checksum uint32[B]).
+    """
+    ft = FloatType(float_type)
+    B, CW = comp32.shape
+    ws = FLOAT_WORD_SIZE[ft]
+    base32 = base32.astype(I32)
+    nseg = FLOAT_NUM_COMP_SEGMENTS[ft]
+
+    def gat(idx):
+        idx = jnp.clip(base32[:, None] + idx, 0, CW - 1)
+        return jnp.take_along_axis(comp32, idx, axis=1)
+
+    hdr = gat(jnp.broadcast_to(jnp.arange(8, dtype=I32), (B, 8)))
+    n = hdr[:, 1].astype(I32)
+    csum_arch = hdr[:, 3]
+    first_seg = hdr[:, 4].astype(I32)
+
+    if capacities is None:
+        capacities = jnp.full((B,), out_floats, I32)
+    success = n <= capacities.astype(I32)
+
+    s1w, s2w = _section_word_counts(n, ft)
+    ans_base0 = base32 + 8 + s1w + s2w
+
+    planes = []
+    for seg in range(nseg):
+        base = ans_base0 if seg == 0 else ans_base0 + (first_seg >> 2)
+        plane, ok, psize, _ = ans_decode_core(
+            comp32, base, out_floats, prob_bits, capacities
+        )
+        planes.append(plane)
+        success = success & ok & (psize.astype(I32) == n)
+
+    # raw section extraction (masked to n at the float level below)
+    S1W_cap, S2W_cap = _section_word_counts(out_floats, ft)
+    r1 = jnp.arange(max(S1W_cap, 1), dtype=I32)
+    r2 = jnp.arange(max(S2W_cap, 1), dtype=I32)
+    sec1_32 = gat(jnp.broadcast_to(8 + r1, (B, r1.size)))
+    sec2_32 = gat((8 + s1w)[:, None] + jnp.broadcast_to(r2, (B, r2.size)))
+
+    pos = jnp.arange(out_floats, dtype=I32)[None, :]
+    live = pos < n[:, None]
+
+    def unpack_u8(sec32):
+        b = jnp.stack(
+            [(sec32 >> u32(8 * k)) & u32(0xFF) for k in range(4)], axis=2
+        ).reshape(B, -1).astype(U8)
+        return jnp.where(live, b[:, :out_floats], U8(0))
+
+    def unpack_u16(sec32):
+        h = jnp.stack(
+            [sec32 & u32(0xFFFF), sec32 >> u32(16)], axis=2
+        ).reshape(B, -1).astype(U16)
+        return jnp.where(live, h[:, :out_floats], U16(0))
+
+    if ft in (FloatType.FLOAT16, FloatType.BFLOAT16):
+        noncomp = [unpack_u8(sec1_32)]
+    elif ft == FloatType.FLOAT32:
+        noncomp = [unpack_u16(sec1_32), unpack_u8(sec2_32)]
+    else:
+        noncomp = [
+            jnp.where(live, sec1_32[:, :out_floats], u32(0)),
+            unpack_u16(sec2_32),
+        ]
+
+    comp_planes = [jnp.where(live, p[:, :out_floats], U8(0)) for p in planes]
+    words32 = join_words32(comp_planes, noncomp, ft)
+
+    csum_got = checksum_batched(bitcast_u32_to_u8(words32), n * ws)
+    return words32, success, n.astype(U32), csum_arch, csum_got
+
+
+def float_compress_padded(
+    data32: jax.Array,
+    n: jax.Array,
+    float_type: FloatType,
+    prob_bits: int = 10,
+    use_checksum: bool = False,
+    out_bytes: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """uint8-row wrapper with the reference's getMaxFloatCompressedSize
+    output-buffer contract."""
+    ft = FloatType(float_type)
+    out32, comp_bytes = float_compress_core(
+        data32, n, ft, prob_bits, use_checksum
+    )
+    comp = bitcast_u32_to_u8(out32)
+    cb = (
+        out_bytes
+        if out_bytes is not None
+        else max_float_compressed_size(ft, _floats_capacity(data32.shape[1], ft))
+    )
+    if comp.shape[1] < cb:
+        comp = jnp.pad(comp, ((0, 0), (0, cb - comp.shape[1])))
+    return comp, comp_bytes
+
+
+def float_get_compressed_info(comp_u8: jax.Array):
+    """Header read: (sizes in float words, float types, stored checksums)
+    (reference: GpuFloatInfo.cuh:18-62)."""
+    from ..ops.bitops import bitcast_u8_to_u32
+
+    h = bitcast_u8_to_u32(comp_u8[:, :16])
+    return h[:, 1], h[:, 2] & u32(0xF), h[:, 3]

@@ -1,0 +1,261 @@
+"""Batched sparse float codec: nonzero bitmap + dense float codec.
+
+TPU equivalent of floatCompressSparseDevice / floatDecompressSparseDevice
+(GpuSparseFloatCompress.cuh:253-446, GpuSparseFloatDecompress.cuh:183-353).
+Differences from the reference, by design:
+
+* The reference runs one thrust::exclusive_scan per batch member in a host
+  loop with device synchronizations (GpuSparseFloatCompress.cuh:357-369);
+  here the scan is a single batched ``jnp.cumsum`` — fully on device, fully
+  async.
+* The reference's last-element special case miscounts nonzeros when the
+  second-to-last element is zero and encodes one uninitialized word
+  (GpuSparseFloatCompress.cuh:170-184). We implement the corrected
+  semantics: the dense sub-archive holds exactly the nonzero words in order
+  (matching core/reference.py, so archives stay oracle-exact).
+* Compaction is a scatter on the compress side and a rank gather on the
+  decompress side — no sort, no host round trips.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.constants import (
+    FLOAT_WORD_SIZE,
+    FloatType,
+    max_sparse_float_compressed_size,
+)
+from ..ops.bitops import bitcast_u32_to_u8, u32
+from .float_codec import (
+    _floats_capacity,
+    float_compress_core,
+    float_decompress_core,
+)
+
+I32 = jnp.int32
+U32 = jnp.uint32
+U8 = jnp.uint8
+
+
+def _nonzero_mask(data32: jax.Array, n: jax.Array, S_cap: int, ft: FloatType):
+    """Boolean (B, S_cap) mask of nonzero float words (integer compare, so
+    -0.0 is 'nonzero' exactly as in generate_bitmap,
+    GpuSparseFloatCompress.cuh:29-58)."""
+    B = data32.shape[0]
+    if ft in (FloatType.FLOAT16, FloatType.BFLOAT16):
+        w16 = jnp.stack(
+            [data32 & u32(0xFFFF), data32 >> u32(16)], axis=2
+        ).reshape(B, -1)[:, :S_cap]
+        nz = w16 != 0
+    elif ft == FloatType.FLOAT32:
+        nz = data32[:, :S_cap] != 0
+    else:
+        nz = (data32[:, 0 : 2 * S_cap : 2] | data32[:, 1 : 2 * S_cap : 2]) != 0
+    pos = jnp.arange(S_cap, dtype=I32)[None, :]
+    return nz & (pos < n[:, None])
+
+
+def _bitmap_words(n):
+    """uint32 words of the 16B-aligned bit-packed bitmap section."""
+    return (-(-(-(-n // 8)) // 16) * 16) // 4
+
+
+def _pack_bitmap32(nz: jax.Array, n: jax.Array, S_cap: int) -> jax.Array:
+    """MSB-first bit packing (GpuSparseFloatCompress.cuh:64-113), straight
+    into uint32 words (byte k of each word is bits 8k..8k+7, bit 7 first)."""
+    B = nz.shape[0]
+    pad = (-S_cap) % 32
+    bits = jnp.pad(nz.astype(U32), ((0, 0), (0, pad))).reshape(B, -1, 4, 8)
+    weights = (u32(1) << jnp.arange(7, -1, -1, dtype=U32))[None, None, None, :]
+    bytes_ = (bits * weights).sum(axis=3).astype(U32)
+    shifts = (u32(8) * jnp.arange(4, dtype=U32))[None, None, :]
+    words = (bytes_ << shifts).sum(axis=2).astype(U32)
+    # zero the alignment tail beyond this member's bitmap
+    wpos = jnp.arange(words.shape[1], dtype=I32)[None, :]
+    valid_w = wpos < (-(-n[:, None] // 32))
+    return jnp.where(valid_w, words, u32(0))
+
+
+def _unpack_bitmap(bm32: jax.Array, S_cap: int) -> jax.Array:
+    B, W = bm32.shape
+    shifts = (u32(8) * jnp.arange(4, dtype=U32))[None, None, :]
+    bytes_ = (bm32[:, :, None] >> shifts) & u32(0xFF)
+    bitw = (u32(1) << jnp.arange(7, -1, -1, dtype=U32))[None, None, None, :]
+    bits = ((bytes_[:, :, :, None] & bitw) > 0).reshape(B, -1)
+    return bits[:, :S_cap]
+
+
+def _compact_nonzeros(data32, nz, ft: FloatType, S_cap: int):
+    """Scatter nonzero float words to the front, preserving order.
+    Returns (packed uint32[B, W32], nnz int32[B])."""
+    B = data32.shape[0]
+    rank = jnp.cumsum(nz.astype(I32), axis=1)
+    nnz = rank[:, -1]
+    pos = rank - 1
+    bb = jnp.arange(B, dtype=I32)[:, None]
+
+    if ft in (FloatType.FLOAT16, FloatType.BFLOAT16):
+        w16 = jnp.stack(
+            [data32 & u32(0xFFFF), data32 >> u32(16)], axis=2
+        ).reshape(B, -1)[:, :S_cap]
+        dump = S_cap
+        idx = jnp.where(nz, pos, dump)
+        out16 = jnp.zeros((B, S_cap + 1), U32).at[bb, idx].add(
+            jnp.where(nz, w16.astype(U32), u32(0))
+        )[:, :S_cap]
+        pad = (-S_cap) % 2
+        v = jnp.pad(out16, ((0, 0), (0, pad))).reshape(B, -1, 2)
+        return v[..., 0] | (v[..., 1] << u32(16)), nnz
+    if ft == FloatType.FLOAT32:
+        dump = S_cap
+        idx = jnp.where(nz, pos, dump)
+        out = jnp.zeros((B, S_cap + 1), U32).at[bb, idx].add(
+            jnp.where(nz, data32[:, :S_cap], u32(0))
+        )
+        return out[:, :S_cap], nnz
+    # FLOAT64: scatter lo/hi halves
+    lo = data32[:, 0 : 2 * S_cap : 2]
+    hi = data32[:, 1 : 2 * S_cap : 2]
+    dump = S_cap
+    idx = jnp.where(nz, pos, dump)
+    out_lo = jnp.zeros((B, S_cap + 1), U32).at[bb, idx].add(
+        jnp.where(nz, lo, u32(0))
+    )[:, :S_cap]
+    out_hi = jnp.zeros((B, S_cap + 1), U32).at[bb, idx].add(
+        jnp.where(nz, hi, u32(0))
+    )[:, :S_cap]
+    return jnp.stack([out_lo, out_hi], axis=2).reshape(B, -1), nnz
+
+
+def sparse_float_compress_core(
+    data32: jax.Array,
+    n: jax.Array,
+    float_type: FloatType,
+    prob_bits: int = 10,
+    use_checksum: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Compress sparse float rows. Returns (out32, comp_bytes)."""
+    ft = FloatType(float_type)
+    B, W32 = data32.shape
+    S_cap = _floats_capacity(W32, ft)
+    n = n.astype(I32)
+
+    nz = _nonzero_mask(data32, n, S_cap, ft)
+    bm32 = _pack_bitmap32(nz, n, S_cap)
+    bmw_cap = _bitmap_words(S_cap)
+    if bm32.shape[1] < bmw_cap:
+        bm32 = jnp.pad(bm32, ((0, 0), (0, bmw_cap - bm32.shape[1])))
+    packed, nnz = _compact_nonzeros(data32, nz, ft, S_cap)
+
+    dense32, dense_bytes = float_compress_core(
+        packed, nnz, ft, prob_bits, use_checksum
+    )
+
+    hdr = jnp.stack(
+        [n.astype(U32)] + [jnp.zeros((B,), U32)] * 3, axis=1
+    )
+    bmw = _bitmap_words(n)
+    o_bm = 4
+    o_dense = o_bm + bmw
+    end = o_dense + (dense_bytes.astype(I32) >> 2)
+
+    CWs = (4 + bm32.shape[1] + dense32.shape[1])
+    j = jnp.arange(CWs, dtype=I32)[None, :]
+
+    def gat(arr, idx):
+        idx = jnp.clip(idx, 0, arr.shape[1] - 1)
+        return jnp.take_along_axis(arr, jnp.broadcast_to(idx, (B, CWs)), axis=1)
+
+    out = gat(hdr, j)
+    out = jnp.where(j >= o_bm, gat(bm32, j - o_bm), out)
+    out = jnp.where(
+        j >= o_dense[:, None], gat(dense32, j - o_dense[:, None]), out
+    )
+    out = jnp.where(j < end[:, None], out, u32(0))
+    comp_bytes = (4 * end).astype(U32)
+    return out, comp_bytes
+
+
+def sparse_float_decompress_core(
+    comp32: jax.Array,
+    out_floats: int,
+    float_type: FloatType,
+    prob_bits: int = 10,
+    capacities: Optional[jax.Array] = None,
+):
+    """Decompress sparse float archives.
+
+    Returns (words32, success, n uint32[B], archive_checksum, computed_checksum).
+    """
+    ft = FloatType(float_type)
+    B, CW = comp32.shape
+    n = comp32[:, 0].astype(I32)
+
+    if capacities is None:
+        capacities = jnp.full((B,), out_floats, I32)
+    success = n <= capacities.astype(I32)
+
+    bmw = _bitmap_words(n)
+    BMW_cap = _bitmap_words(out_floats)
+    bidx = 4 + jnp.arange(max(BMW_cap, 1), dtype=I32)[None, :]
+    bm32 = jnp.take_along_axis(
+        comp32, jnp.broadcast_to(jnp.clip(bidx, 0, CW - 1), (B, bidx.shape[1])),
+        axis=1,
+    )
+    bitmap = _unpack_bitmap(bm32, out_floats)
+    pos = jnp.arange(out_floats, dtype=I32)[None, :]
+    bitmap = bitmap & (pos < n[:, None])
+
+    dense_base = 4 + bmw
+    nz32, dsuccess, nnz, csum_arch, csum_got = float_decompress_core(
+        comp32, dense_base, out_floats, ft, prob_bits, capacities
+    )
+    success = success & dsuccess
+
+    # rank gather: out[i] = bitmap[i] ? nonzeros[rank(i)] : 0
+    rank = jnp.cumsum(bitmap.astype(I32), axis=1) - 1
+    rank = jnp.clip(rank, 0, out_floats - 1)
+    if ft in (FloatType.FLOAT16, FloatType.BFLOAT16):
+        h16 = jnp.stack(
+            [nz32 & u32(0xFFFF), nz32 >> u32(16)], axis=2
+        ).reshape(B, -1)[:, :out_floats]
+        vals = jnp.take_along_axis(h16, rank, axis=1)
+        w16 = jnp.where(bitmap, vals, u32(0))
+        pad = (-out_floats) % 2
+        v = jnp.pad(w16, ((0, 0), (0, pad))).reshape(B, -1, 2)
+        words32 = v[..., 0] | (v[..., 1] << u32(16))
+    elif ft == FloatType.FLOAT32:
+        vals = jnp.take_along_axis(nz32[:, :out_floats], rank, axis=1)
+        words32 = jnp.where(bitmap, vals, u32(0))
+    else:
+        lo = jnp.take_along_axis(nz32[:, 0 : 2 * out_floats : 2], rank, axis=1)
+        hi = jnp.take_along_axis(nz32[:, 1 : 2 * out_floats : 2], rank, axis=1)
+        lo = jnp.where(bitmap, lo, u32(0))
+        hi = jnp.where(bitmap, hi, u32(0))
+        words32 = jnp.stack([lo, hi], axis=2).reshape(B, -1)
+    return words32, success, n.astype(U32), csum_arch, csum_got
+
+
+def sparse_float_compress_padded(
+    data32, n, float_type, prob_bits=10, use_checksum=False, out_bytes=None
+):
+    """uint8-row wrapper with the getMaxSparseFloatCompressedSize contract."""
+    ft = FloatType(float_type)
+    out32, comp_bytes = sparse_float_compress_core(
+        data32, n, ft, prob_bits, use_checksum
+    )
+    comp = bitcast_u32_to_u8(out32)
+    cb = (
+        out_bytes
+        if out_bytes is not None
+        else max_sparse_float_compressed_size(
+            ft, _floats_capacity(data32.shape[1], ft)
+        )
+    )
+    if comp.shape[1] < cb:
+        comp = jnp.pad(comp, ((0, 0), (0, cb - comp.shape[1])))
+    return comp, comp_bytes

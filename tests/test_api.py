@@ -1,0 +1,131 @@
+"""API-level tests, mirroring the reference's Python suites
+(dietgpu/ans_test.py, dietgpu/float_test.py)."""
+
+import numpy as np
+import pytest
+
+from dietgpu_fork_tpu.api import codec as C
+from dietgpu_fork_tpu.core import reference as R
+from dietgpu_fork_tpu.core.constants import FloatType
+from tests.conftest import make_float_words
+
+
+def normal(rng, n, dtype):
+    if dtype == "bfloat16":
+        import ml_dtypes
+
+        return rng.normal(0, 1, n).astype(np.float32).astype(ml_dtypes.bfloat16)
+    return rng.normal(0, 1, n).astype(dtype)
+
+
+@pytest.mark.parametrize("dtype", ["float16", "bfloat16", "float32", "float64"])
+def test_float_compress_roundtrip(rng, dtype):
+    ts = [normal(rng, n, dtype) for n in (1000, 100, 4097)]
+    comp, sizes, temp = C.compress_data(True, ts, checksum=True)
+    assert temp > 0
+    rows, cols = C.max_float_compressed_output_size(ts)
+    assert comp.shape == (rows, cols)
+
+    outs, out_sizes, success, status, _ = C.decompress_data(
+        True, comp, [t.size for t in ts], dtype=ts[0].dtype, checksum=True
+    )
+    assert status.ok and np.all(success)
+    for t, o in zip(ts, outs):
+        assert o.dtype == t.dtype
+        assert np.array_equal(o.view(np.uint8), t.view(np.uint8))
+
+
+def test_raw_ans_roundtrip(rng):
+    ts = [rng.integers(0, 256, n, dtype=np.uint8) for n in (100, 65536)]
+    comp, sizes, _ = C.compress_data(False, ts, checksum=True)
+    outs, _, success, status, _ = C.decompress_data(
+        False, comp, [t.size for t in ts], checksum=True
+    )
+    assert status.ok and np.all(success)
+    for t, o in zip(ts, outs):
+        assert np.array_equal(o, t)
+
+
+def test_compressed_archives_match_oracle(rng):
+    ts = [normal(rng, 3000, "float32")]
+    arcs = C.compress_data_simple(True, ts, checksum=False)
+    expect = R.float_compress(ts[0].view(np.uint32), FloatType.FLOAT32)
+    assert np.array_equal(arcs[0], expect)
+
+
+def test_simple_roundtrip_and_shrinkage(rng):
+    # compression actually shrinks on N(0,1) data (float_test.py:86-92)
+    ts = [normal(rng, 1 << 16, "bfloat16")]
+    arcs = C.compress_data_simple(True, ts)
+    assert arcs[0].size < ts[0].size * 2
+    outs = C.decompress_data_simple(True, arcs)
+    assert np.array_equal(outs[0].view(np.uint8), ts[0].view(np.uint8))
+
+
+def test_empty_tensor_header_only(rng):
+    ts = [np.zeros(0, np.float16)]
+    arcs = C.compress_data_simple(True, ts)
+    outs = C.decompress_data_simple(True, arcs)
+    assert outs[0].size == 0
+
+
+def test_split_size_float(rng):
+    splits = [1000, 777, 4096]
+    x = normal(rng, sum(splits), "float32")
+    comp, sizes, _ = C.compress_data_split_size(True, x, splits)
+    out, out_sizes, success, status, _ = C.decompress_data_split_size(
+        True, comp, splits, dtype=x.dtype
+    )
+    assert np.all(success)
+    assert np.array_equal(out.view(np.uint8), x.view(np.uint8))
+
+
+def test_split_size_raw_alignment_enforced(rng):
+    x = rng.integers(0, 256, 1000, dtype=np.uint8)
+    with pytest.raises(ValueError, match="4-byte aligned"):
+        C.compress_data_split_size(False, x, [3, 997])
+    comp, _, _ = C.compress_data_split_size(False, x, [400, 600])
+    out, _, success, _, _ = C.decompress_data_split_size(False, comp, [400, 600])
+    assert np.all(success)
+    assert np.array_equal(out, x)
+
+
+def test_truncated_to_reported_size_still_decodes(rng):
+    # ans_test.py:21-26 truncates archives to the reported size before decode
+    ts = [normal(rng, 5000, "float16")]
+    arcs = C.compress_data_simple(True, ts, checksum=True)
+    outs = C.decompress_data_simple(True, arcs, checksum=True)
+    assert np.array_equal(outs[0].view(np.uint8), ts[0].view(np.uint8))
+
+
+def test_checksum_mismatch_raises(rng):
+    ts = [normal(rng, 2000, "float32")]
+    arcs = C.compress_data_simple(True, ts, checksum=True)
+    arcs[0][40] ^= 0xFF
+    with pytest.raises(RuntimeError, match="checksum"):
+        C.decompress_data(True, arcs, [2000], dtype=ts[0].dtype, checksum=True)
+
+
+def test_sparse_api_roundtrip(rng):
+    w = normal(rng, 10000, "float32")
+    w[rng.random(10000) < 0.5] = 0
+    arcs = C.compress_data_simple(True, [w], sparse=True)
+    expect = R.sparse_float_compress(w.view(np.uint32), FloatType.FLOAT32)
+    assert np.array_equal(arcs[0], expect)
+    outs = C.decompress_data_simple(True, arcs, sparse=True)
+    assert np.array_equal(outs[0].view(np.uint8), w.view(np.uint8))
+
+
+def test_temp_memory_contract(rng):
+    # the reference returns a temp-mem high-water mark from every op
+    # (DietGpu.cpp:285); ours reports the equivalent estimate
+    from dietgpu_fork_tpu.runtime import stack_memory as sm
+
+    est = sm.StackMemoryEstimator()
+    est.alloc(1000)   # -> 1024 (256B aligned)
+    est.alloc(2000)   # -> 2048
+    est.free()
+    est.alloc(500)    # -> 512
+    assert est.high == 3072 and est.cur == 1536
+    assert sm.ans_encode_temp_size(128, 512 * 1024) > 0
+    assert sm.float_compress_temp_size(1, 1 << 20, FloatType.FLOAT64) > 0
