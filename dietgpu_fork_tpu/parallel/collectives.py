@@ -1,0 +1,230 @@
+"""Compressed collectives: the distributed application the reference names
+as its purpose but never implements (README.md:92-96, 123-127).
+
+Pattern: inside `shard_map`, each device float-compresses its shard, the
+*compressed* rows ride the ICI collective, and receivers decompress locally.
+For exponent-compressible data (gradients, activations ~ N(0, sigma)) this
+cuts all-gather / all-reduce wire bytes to the compression ratio (~0.67x for
+bf16, ~0.25x+raw for fp32 exponents).
+
+Because XLA collectives need static shapes, the wire buffer is sized by a
+static `budget_ratio` of the raw shard size (default covers N(0,1)-like data
+with headroom). A shard whose archive exceeds the budget cannot ride the
+smaller wire; it arrives as zeros with its per-shard `ok` flag cleared —
+the same capacity-failure contract as the codec's decode path
+(GpuANSDecode.cuh:326-337). Set budget_ratio >= 1.31 (max expansion) to make
+overflow impossible, or check the flags and fall back to an uncompressed
+collective for the rare incompressible step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from functools import partial as _partial
+
+try:
+    from jax import shard_map as _shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+# codec scans carry constants created inside the mapped function, which the
+# varying-manual-axes checker rejects; disable the check (semantics unchanged)
+shard_map = _partial(_shard_map, check_vma=False)
+
+from ..core.constants import FLOAT_WORD_SIZE, FloatType
+from ..models.float_codec import float_compress_core, float_decompress_core
+from ..ops.bitops import u32
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+
+# fixed per-archive overhead allowance: float headers (32B) + per-plane ANS
+# header/pdf-table/block metadata (~700B for small shards)
+_WIRE_FIXED_OVERHEAD = 1024
+
+
+def _wire_words(n_floats: int, ft: FloatType, budget_ratio: float) -> int:
+    raw_bytes = n_floats * FLOAT_WORD_SIZE[ft]
+    budget = int(raw_bytes * budget_ratio) + _WIRE_FIXED_OVERHEAD
+    return -(-budget // 16) * 4  # uint32 words, 16B multiple
+
+
+def _encode_wire(x32: jax.Array, n: int, ft: FloatType, prob_bits: int,
+                 wire_w: int) -> jax.Array:
+    """Compress one shard into a fixed wire buffer. Wire row =
+    [fits_flag, payload...]; an over-budget archive sends zeros + flag 0."""
+    comp32, comp_bytes = float_compress_core(
+        x32[None, :], jnp.array([n], I32), ft, prob_bits
+    )
+    comp32 = comp32[0]
+    fits = (comp_bytes[0] >> 2) <= (wire_w - 1)
+
+    k = jnp.arange(wire_w - 1)
+    comp_part = jnp.where(
+        k < comp32.shape[0],
+        comp32[jnp.clip(k, 0, comp32.shape[0] - 1)],
+        u32(0),
+    )
+    payload = jnp.where(fits, comp_part, u32(0))
+    return jnp.concatenate([jnp.where(fits, u32(1), u32(0))[None], payload])
+
+
+def _decode_wire(row: jax.Array, n: int, ft: FloatType, prob_bits: int,
+                 w32: int):
+    flag = row[0]
+    payload = row[1:]
+    words, ok, _, _, _ = float_decompress_core(
+        payload[None, :], jnp.zeros((1,), I32), n, ft, prob_bits
+    )
+    good = (flag == 1) & ok[0]
+    return jnp.where(good, words[0][:w32], u32(0)), good
+
+
+def compressed_all_gather(
+    x: jax.Array,
+    mesh: Mesh,
+    axis: str = "data",
+    prob_bits: int = 10,
+    budget_ratio: float = 0.85,
+) -> jax.Array:
+    """All-gather a float array sharded on its leading dim over `axis`,
+    moving compressed bytes over the interconnect. Lossless."""
+    ft = _ft_of(x.dtype)
+    ndev = mesh.shape[axis]
+    assert x.shape[0] % ndev == 0
+
+    def fn(local):
+        flat32, n, w32 = _to_u32(local)
+        wire_w = _wire_words(n, ft, budget_ratio)
+        wire = _encode_wire(flat32, n, ft, prob_bits, wire_w)
+        gathered = jax.lax.all_gather(wire, axis)  # (ndev, wire_w)
+        decoded, good = jax.vmap(
+            lambda r: _decode_wire(r, n, ft, prob_bits, w32)
+        )(gathered)
+        return (
+            _from_u32(decoded.reshape(-1), local.dtype,
+                      (ndev * local.shape[0],) + local.shape[1:]),
+            good,
+        )
+
+    return shard_map(
+        fn, mesh=mesh, in_specs=(P(axis),), out_specs=(P(None), P(None))
+    )(x)
+
+
+def compressed_all_reduce(
+    x: jax.Array,
+    mesh: Mesh,
+    axis: str = "data",
+    prob_bits: int = 10,
+    budget_ratio: float = 0.85,
+) -> jax.Array:
+    """Sum-all-reduce with compressed all-gather transport. Each device
+    contributes its (replicated-shape) addend; the wire carries compressed
+    archives; every device decompresses and reduces locally."""
+    ft = _ft_of(x.dtype)
+    ndev = mesh.shape[axis]
+
+    def fn(local):
+        local = local.reshape(local.shape[1:])  # drop the sharded axis (=1)
+        flat32, n, w32 = _to_u32(local)
+        wire_w = _wire_words(n, ft, budget_ratio)
+        wire = _encode_wire(flat32, n, ft, prob_bits, wire_w)
+        gathered = jax.lax.all_gather(wire, axis)
+        decoded, good = jax.vmap(
+            lambda r: _decode_wire(r, n, ft, prob_bits, w32)
+        )(gathered)
+        terms = jax.vmap(
+            lambda d: _from_u32(d, local.dtype, local.shape)
+        )(decoded)
+        return jnp.sum(terms, axis=0)[None], good
+
+    return shard_map(
+        fn, mesh=mesh, in_specs=(P(axis),), out_specs=(P(None), P(None))
+    )(x)
+
+
+def compressed_ppermute(
+    x: jax.Array,
+    mesh: Mesh,
+    perm,
+    axis: str = "data",
+    prob_bits: int = 10,
+    budget_ratio: float = 0.85,
+) -> jax.Array:
+    """Point-to-point shard exchange (halo/pipeline style) with compressed
+    payloads."""
+    ft = _ft_of(x.dtype)
+
+    def fn(local):
+        flat32, n, w32 = _to_u32(local)
+        wire_w = _wire_words(n, ft, budget_ratio)
+        wire = _encode_wire(flat32, n, ft, prob_bits, wire_w)
+        moved = jax.lax.ppermute(wire, axis, perm)
+        dec, good = _decode_wire(moved, n, ft, prob_bits, w32)
+        return _from_u32(dec, local.dtype, local.shape), good[None]
+
+    return shard_map(
+        fn, mesh=mesh, in_specs=(P(axis),), out_specs=(P(axis), P(axis))
+    )(x)
+
+
+# -- dtype plumbing ---------------------------------------------------------
+
+
+def _ft_of(dtype) -> FloatType:
+    import numpy as np
+
+    dt = jnp.dtype(dtype)
+    if dt == jnp.float16:
+        return FloatType.FLOAT16
+    if dt == jnp.bfloat16:
+        return FloatType.BFLOAT16
+    if dt == jnp.float32:
+        return FloatType.FLOAT32
+    if dt == jnp.float64 or dt == np.float64:
+        return FloatType.FLOAT64
+    raise ValueError(f"unsupported dtype {dt}")
+
+
+def _to_u32(x: jax.Array) -> Tuple[jax.Array, int, int]:
+    """Flatten a float array to little-endian uint32 words."""
+    n = int(x.size)
+    ft = _ft_of(x.dtype)
+    ws = FLOAT_WORD_SIZE[ft]
+    flat = x.reshape(-1)
+    if ws == 2:
+        h = jax.lax.bitcast_convert_type(flat, jnp.uint16).astype(U32)
+        if n % 2:
+            h = jnp.pad(h, (0, 1))
+        v = h.reshape(-1, 2)
+        w = v[:, 0] | (v[:, 1] << u32(16))
+    elif ws == 4:
+        w = jax.lax.bitcast_convert_type(flat, U32)
+    else:  # fp64 -> (lo, hi) pairs
+        h = jax.lax.bitcast_convert_type(flat, U32)  # (..., 2) little endian
+        w = h.reshape(-1)
+    return w, n, w.shape[0]
+
+
+def _from_u32(w: jax.Array, dtype, shape) -> jax.Array:
+    ws = FLOAT_WORD_SIZE[_ft_of(dtype)]
+    if ws == 2:
+        lo = (w & u32(0xFFFF)).astype(jnp.uint16)
+        hi = (w >> u32(16)).astype(jnp.uint16)
+        h = jnp.stack([lo, hi], axis=1).reshape(-1)
+        n = 1
+        for d in shape:
+            n *= d
+        return jax.lax.bitcast_convert_type(h[:n], jnp.dtype(dtype)).reshape(shape)
+    if ws == 4:
+        return jax.lax.bitcast_convert_type(w, jnp.dtype(dtype)).reshape(shape)
+    return jax.lax.bitcast_convert_type(w.reshape(-1, 2), jnp.dtype(dtype)).reshape(
+        shape
+    )

@@ -1,0 +1,119 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dietgpu_fork_tpu.core.constants import FloatType
+from dietgpu_fork_tpu.parallel import collectives as coll
+from dietgpu_fork_tpu.parallel import sharded as sh
+from tests.conftest import make_float_words
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return sh.data_mesh()
+
+
+def test_sharded_float_roundtrip(rng, mesh):
+    B, n = 8, 5000
+    words = np.stack([make_float_words(rng, FloatType.BFLOAT16, n) for _ in range(B)])
+    data32 = jnp.asarray(words.view(np.uint32))
+    sizes = jnp.full((B,), n, jnp.int32)
+    xs = sh.shard_batch(mesh, data32)
+    ss = sh.shard_batch(mesh, sizes)
+
+    comp, comp_bytes = sh.float_compress_sharded(
+        mesh, xs, ss, FloatType.BFLOAT16
+    )
+    # sharded archives must equal single-device archives
+    from dietgpu_fork_tpu.models.float_codec import float_compress_padded
+
+    ref_comp, ref_bytes = jax.jit(
+        float_compress_padded,
+        static_argnames=("float_type", "prob_bits", "use_checksum"),
+    )(data32, sizes, float_type=FloatType.BFLOAT16)
+    assert np.array_equal(np.asarray(comp_bytes), np.asarray(ref_bytes))
+    assert np.array_equal(np.asarray(comp), np.asarray(ref_comp))
+
+    out32, success, nsz, _, _ = sh.float_decompress_sharded(
+        mesh, comp, n, FloatType.BFLOAT16
+    )
+    assert np.all(np.asarray(success))
+    got = np.asarray(out32).view(np.uint8)[:, : n * 2]
+    assert np.array_equal(got, words.view(np.uint8))
+
+    allsz = sh.global_compressed_sizes(comp_bytes, mesh)
+    assert np.array_equal(np.asarray(allsz), np.asarray(ref_bytes))
+
+
+def test_sharded_ans_roundtrip(rng, mesh):
+    B, S = 8, 8192
+    x = rng.integers(0, 64, (B, S), np.uint8)
+    xs = sh.shard_batch(mesh, jnp.asarray(x))
+    ss = sh.shard_batch(mesh, jnp.full((B,), S, jnp.int32))
+    comp, _ = sh.ans_encode_sharded(mesh, xs, ss)
+    out, success, sizes, _ = sh.ans_decode_sharded(mesh, comp, S)
+    assert np.all(np.asarray(success))
+    assert np.array_equal(np.asarray(out), x)
+
+
+# budget covers the data's actual ratio: bf16 N(0,1) ~0.68, fp32 ~0.91
+@pytest.mark.parametrize("dtype,budget", [(jnp.bfloat16, 0.85),
+                                          (jnp.float32, 0.95)])
+def test_compressed_all_gather(rng, mesh, dtype, budget):
+    x = jnp.asarray(rng.normal(0, 1, (8, 2048)), dtype)
+    got, ok = jax.jit(
+        lambda v: coll.compressed_all_gather(v, mesh, budget_ratio=budget)
+    )(x)
+    assert np.all(np.asarray(ok))
+    assert got.dtype == x.dtype
+    assert got.shape == x.shape  # gathered back to the global shape
+    assert np.array_equal(
+        np.asarray(got).view(np.uint8), np.asarray(x).view(np.uint8)
+    )
+
+
+def test_compressed_all_gather_overflow_flagged(rng, mesh):
+    # uniform random bits exceed the wire budget -> flagged, zeros delivered
+    bits = rng.integers(0, 2**32, (8, 2048), dtype=np.uint64).astype(np.uint32)
+    x = jnp.asarray(bits).view(jnp.float32)
+    got, ok = jax.jit(lambda v: coll.compressed_all_gather(v, mesh))(x)
+    assert not np.any(np.asarray(ok))
+    assert not np.any(np.asarray(got).view(np.uint32))
+    # a generous budget always fits (max expansion is ~1.31x + overhead)
+    got2, ok2 = jax.jit(
+        lambda v: coll.compressed_all_gather(v, mesh, budget_ratio=1.5)
+    )(x)
+    assert np.all(np.asarray(ok2))
+    assert np.array_equal(
+        np.asarray(got2).view(np.uint32), np.asarray(x).view(np.uint32)
+    )
+
+
+def test_compressed_all_reduce(rng, mesh):
+    x = jnp.asarray(rng.normal(0, 1, (8, 1, 1024)), jnp.float32)
+    got, ok = jax.jit(
+        lambda v: coll.compressed_all_reduce(v, mesh, budget_ratio=0.95)
+    )(x)
+    assert np.all(np.asarray(ok))
+    want = jnp.sum(x, axis=0)
+    # transport is lossless; only the reduction order may differ between the
+    # two XLA programs, so compare within float tolerance
+    assert np.allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+
+def test_compressed_ppermute(rng, mesh):
+    x = jnp.asarray(rng.normal(0, 1, (8, 512)), jnp.bfloat16)
+    perm = [(i, (i + 1) % 8) for i in range(8)]
+    got, ok = jax.jit(
+        lambda v: coll.compressed_ppermute(v, mesh, perm)
+    )(x)
+    assert np.all(np.asarray(ok))
+    want = np.roll(np.asarray(x), 1, axis=0)
+    assert np.array_equal(
+        np.asarray(got).view(np.uint8), want.view(np.uint8)
+    )
