@@ -70,51 +70,59 @@ def _assemble_archives(
     total_words: jax.Array,
     out_words: int,
 ) -> jax.Array:
-    """Gather-cascade layout: produce uint32[B, out_words] archive rows."""
+    """Archive layout via sequential ragged placement.
+
+    Every section is a contiguous run placed at a (possibly dynamic) offset,
+    so layout is expressed as ordered block placements (ops.pallas.ragged)
+    instead of per-element scatters. Later placements overwrite earlier
+    rows' fixed-length zero tails; the static-offset header/pdf rows go
+    last, and a final end-mask zeroes each member's tail. Each member's row
+    carries MAX_BLOCK_WORDS32 slack so the last block's tail cannot reach
+    into the next member's row.
+    """
+    from ..ops.pallas.ragged import ragged_place
+
     B, NB = num_words.shape
-    j = jnp.arange(out_words, dtype=I32)[None, :]
-
-    probs16 = pdf[:, 0::2] | (pdf[:, 1::2] << u32(16))
-    meta = jnp.concatenate([hdr8, probs16], axis=1)  # (B, 136)
-
+    K = MAX_BLOCK_WORDS32
+    # slack *precedes* each member's content so the previous member's
+    # fixed-length stream tails land in slack, never in placed sections
+    CWa = out_words + K
     bw_off, data_off = _layout(nb)
-    bw_off = bw_off[:, None]
-    data_off = data_off[:, None]
-    end = data_off + (total_words[:, None] >> 1)
+    end = data_off + (total_words >> 1)
+    row0 = jnp.arange(B, dtype=I32) * CWa + K
 
-    # -- states region ------------------------------------------------------
-    s_idx = jnp.clip(j - _META_WORDS, 0, NB * 32 - 1)
-    v_states = jnp.take_along_axis(states.reshape(B, -1), s_idx, axis=1)
+    flat = jnp.zeros((B * CWa + K + 8,), U32)
+    dump = B * CWa
 
-    # -- blockWords region ---------------------------------------------------
-    e = j - bw_off
-    b_bw = jnp.clip(e >> 1, 0, NB - 1)
+    # 1. per-block interleaved states (fixed offset 136; tail fixed later)
+    flat = ragged_place(states.reshape(B, NB * 32), row0 + _META_WORDS, flat)
+
+    # 2. blockWords pairs at dynamic bw_off
     bw_x = (uncomp_w.astype(U32) << u32(16)) | num_words.astype(U32)
     bw_y = prefix.astype(U32)
-    v_bw = jnp.where(
-        (e & 1) == 1,
-        jnp.take_along_axis(bw_y, b_bw, axis=1),
-        jnp.take_along_axis(bw_x, b_bw, axis=1),
+    live = jnp.arange(NB, dtype=I32)[None, :] < nb[:, None]
+    pairs = jnp.stack(
+        [jnp.where(live, bw_x, u32(0)), jnp.where(live, bw_y, u32(0))], axis=2
+    ).reshape(B, 2 * NB)
+    if NB % 2:
+        pairs = jnp.pad(pairs, ((0, 0), (0, 2)))
+    flat = ragged_place(pairs, row0 + bw_off, flat)
+
+    # 3. per-block compressed streams at data_off + alignedPrefix
+    rows = streams32[:, :, :K].reshape(B * NB, K)
+    offs = row0[:, None] + data_off[:, None] + (prefix.astype(I32) >> 1)
+    offs = jnp.where(live, offs, dump).reshape(-1)
+    flat = ragged_place(rows, offs, flat)
+
+    # 4. header + packed pdf table (static offsets, placed last)
+    probs16 = pdf[:, 0::2] | (pdf[:, 1::2] << u32(16))
+    flat = ragged_place(
+        jnp.concatenate([hdr8, probs16], axis=1), row0, flat
     )
-    v_bw = jnp.where((e >> 1) < nb[:, None], v_bw, u32(0))  # odd-nb pad pair
 
-    # -- data region ----------------------------------------------------------
-    d = jnp.clip(j - data_off, 0, None)
-    find = jax.vmap(partial(jnp.searchsorted, side="right"))
-    b_d = jnp.clip(find(prefix.astype(I32), 2 * d).astype(I32) - 1, 0, NB - 1)
-    p_b = jnp.take_along_axis(prefix.astype(I32), b_d, axis=1)
-    off32 = jnp.clip(d - (p_b >> 1), 0, MAX_BLOCK_WORDS32)
-    v_data = jnp.take_along_axis(
-        streams32.reshape(B, -1), b_d * (MAX_BLOCK_WORDS32 + 1) + off32, axis=1
-    )
-
-    # -- meta region -----------------------------------------------------------
-    v_meta = jnp.take_along_axis(meta, jnp.clip(j, 0, _META_WORDS - 1), axis=1)
-
-    out = jnp.where(j < _META_WORDS, v_meta, v_states)
-    out = jnp.where(j >= bw_off, v_bw, out)
-    out = jnp.where(j >= data_off, v_data, out)
-    return jnp.where(j < end, out, u32(0))
+    out = flat[: B * CWa].reshape(B, CWa)[:, K : K + out_words]
+    j = jnp.arange(out_words, dtype=I32)[None, :]
+    return jnp.where(j < end[:, None], out, u32(0))
 
 
 def ans_encode_core(
@@ -270,9 +278,23 @@ def ans_decode_core(
     comp_w = jnp.where(live, (bx & u32(0xFFFF)).astype(I32), 0)
     starts = jnp.where(live, by.astype(I32), 0)
 
+    # stage each block's compressed words into a dense (B, NB, SW) buffer
+    # (per-block starts are 16B aligned, so uint16 word k of a block lives at
+    # staged word k>>1, half k&1)
+    from ..ops.pallas.ragged import ragged_extract
+
+    SW = MAX_BLOCK_WORDS32 + 8
+    abs_off = (
+        (jnp.arange(B, dtype=I32) * CW + base32 + data_off)[:, None]
+        + (starts >> 1)
+    ).reshape(-1)
+    flat = jnp.concatenate([comp32.reshape(-1), jnp.zeros((SW + 8,), U32)])
+    streams32 = ragged_extract(flat, abs_off, rows=B * NB, width=SW).reshape(
+        B, NB, SW
+    )
+
     out_blocks = decode_blocks(
-        comp32, base32 + data_off, starts, comp_w, uncomp_w, states, lut,
-        prob_bits,
+        streams32, comp_w, uncomp_w, states, lut, prob_bits
     )
     out = out_blocks.reshape(B, NB * BLOCK_SIZE)[:, :out_capacity]
     pos = jnp.arange(out_capacity, dtype=I32)[None, :]

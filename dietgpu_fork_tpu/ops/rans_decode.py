@@ -38,9 +38,7 @@ U32 = jnp.uint32
 
 
 def decode_blocks(
-    comp32: jax.Array,
-    data_off32: jax.Array,
-    starts: jax.Array,
+    streams32: jax.Array,
     comp_words: jax.Array,
     uncomp_words: jax.Array,
     states: jax.Array,
@@ -49,9 +47,8 @@ def decode_blocks(
 ) -> jax.Array:
     """Decode all blocks of a batch of archives.
 
-    comp32:      uint32[B, CW]   raw archive rows
-    data_off32:  int32[B]        uint32 offset of the compressed word stream
-    starts:      int32[B, NB]    per-block uint16 word start (16B aligned)
+    streams32:   uint32[B, NB, SW] per-block staged compressed streams
+                 (uint16 pairs; block word k at [.., k>>1], half k&1)
     comp_words:  int32[B, NB]    per-block compressed uint16 word count
     uncomp_words:int32[B, NB]    per-block decoded byte count (0 for unused)
     states:      uint32[B, NB, 32] initial interleaved states
@@ -59,17 +56,17 @@ def decode_blocks(
 
     Returns out: uint8[B, NB, 4096] decoded bytes (zero where invalid).
     """
-    B, NB = starts.shape
+    from .pallas.lookup import chunked_lookup, rowwise_lookup
+
+    B, NB, SW = streams32.shape
     lanes = jnp.arange(WARP_SIZE, dtype=I32)
 
     uw = uncomp_words.astype(I32)
     r = ((uw - 1) % WARP_SIZE) + 1  # tail group width (32 for full blocks)
     nsteps = -(-uw // WARP_SIZE)
-    # uint16 index (relative to the member's data section) one past the last
-    # unread word; decremented as renorm consumes words.
-    base16 = starts + comp_words
 
     state_mask = u32((1 << prob_bits) - 1)
+    st_rows = streams32.reshape(B * NB, SW)
 
     def step(carry, k):
         states, ptr = carry
@@ -79,9 +76,7 @@ def decode_blocks(
         )
 
         s_bar = (states & state_mask).astype(I32)
-        ent = jnp.take_along_axis(
-            lut, s_bar.reshape(B, -1), axis=1
-        ).reshape(s_bar.shape)
+        ent = chunked_lookup(lut, s_bar.reshape(B, -1)).reshape(s_bar.shape)
         sym = (ent & u32(0xFF)).astype(jnp.uint8)
         pdf = (ent >> u32(8)) & u32(0xFFF)
         smc = ent >> u32(20)
@@ -91,13 +86,14 @@ def decode_blocks(
 
         read = lane_valid & (states < u32(ANS_MIN_STATE))
         # inclusive count of reading lanes with index >= l
+        # (the reference's reverse ballot, GpuANSDecode.cuh:89-104)
         suffix = jnp.flip(
             jnp.cumsum(jnp.flip(read.astype(I32), axis=2), axis=2), axis=2
         )
-        idx16 = 2 * data_off32[:, None, None] + ptr[:, :, None] - suffix
-        idx32 = jnp.clip(idx16 >> 1, 0, comp32.shape[1] - 1)
-        w32 = jnp.take_along_axis(
-            comp32, idx32.reshape(B, -1), axis=1
+        idx16 = ptr[:, :, None] - suffix  # block-relative uint16 index
+        idx32 = jnp.clip(idx16 >> 1, 0, SW - 1)
+        w32 = rowwise_lookup(
+            st_rows, idx32.reshape(B * NB, WARP_SIZE)
         ).reshape(idx16.shape)
         val = jnp.where(
             (idx16 & 1) == 1, w32 >> u32(16), w32 & u32(0xFFFF)
@@ -107,13 +103,21 @@ def decode_blocks(
         return (states, ptr), sym
 
     ks = jnp.arange(STEPS_PER_BLOCK, dtype=I32)
-    (_, _), syms = jax.lax.scan(step, (states, base16), ks)
+    (_, _), syms = jax.lax.scan(step, (states, comp_words.astype(I32)), ks)
 
     # syms: (128, B, NB, 32); time-reverse so flat index i within a block
-    # holds position (U - r' - 4064) + i, then shift per block.
-    flat = jnp.flip(syms, axis=0).transpose(1, 2, 0, 3).reshape(B, NB, BLOCK_SIZE)
+    # holds position (U - r' - 4064) + i, then shift per block by
+    # (4064 + r' - U): a per-block dynamic slice of the padded row.
+    flat = jnp.flip(syms, axis=0).transpose(1, 2, 0, 3).reshape(
+        B * NB, BLOCK_SIZE
+    )
+    # shift in [0, 4064]; pad rows so the slice window stays in bounds
+    # (out-of-range tail is masked below)
+    flat = jnp.pad(flat, ((0, 0), (0, BLOCK_SIZE)))
+    shift = ((STEPS_PER_BLOCK - 1) * WARP_SIZE + r - uw).reshape(-1)
+    out = jax.vmap(
+        lambda row, s: jax.lax.dynamic_slice(row, (s,), (BLOCK_SIZE,))
+    )(flat, jnp.clip(shift, 0, BLOCK_SIZE))
+    out = out.reshape(B, NB, BLOCK_SIZE)
     p = jnp.arange(BLOCK_SIZE, dtype=I32)
-    shift = (STEPS_PER_BLOCK - 1) * WARP_SIZE + r - uw  # 4064 + r' - U
-    gidx = jnp.clip(p[None, None, :] + shift[:, :, None], 0, BLOCK_SIZE - 1)
-    out = jnp.take_along_axis(flat, gidx, axis=2)
     return jnp.where(p[None, None, :] < uw[:, :, None], out, jnp.uint8(0))
