@@ -97,7 +97,10 @@ _FT_TO_UINT = {
 
 
 def float_type_of(x) -> FloatType:
-    dt = np.dtype(x.dtype) if hasattr(x, "dtype") else np.dtype(x)
+    try:
+        dt = np.dtype(x)  # dtype-like: np.float32, "float32", np.dtype(...)
+    except TypeError:
+        dt = np.dtype(x.dtype)  # array-like
     if dt == np.dtype(jnp.bfloat16):
         return FloatType.BFLOAT16
     if dt not in _DTYPE_TO_FT:

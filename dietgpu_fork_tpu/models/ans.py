@@ -70,59 +70,62 @@ def _assemble_archives(
     total_words: jax.Array,
     out_words: int,
 ) -> jax.Array:
-    """Archive layout via sequential ragged placement.
+    """Archive layout as one ragged runs-merge (ops.pallas.merge).
 
-    Every section is a contiguous run placed at a (possibly dynamic) offset,
-    so layout is expressed as ordered block placements (ops.pallas.ragged)
-    instead of per-element scatters. Later placements overwrite earlier
-    rows' fixed-length zero tails; the static-offset header/pdf rows go
-    last, and a final end-mask zeroes each member's tail. Each member's row
-    carries MAX_BLOCK_WORDS32 slack so the last block's tail cannot reach
-    into the next member's row.
-    """
-    from ..ops.pallas.ragged import ragged_place
+    Every member contributes 2 + NB contiguous runs, already ordered by
+    destination: [header+pdf+states] at the row start, blockWords pairs at
+    the dynamic bw_off, then each live block's compressed words at
+    data_off + alignedPrefix/2. The merge engine places them all and leaves
+    zeros elsewhere (the reference's ansEncodeCoalesce,
+    GpuANSEncode.cuh:511-624)."""
+    from ..ops.pallas.merge import runs_merge
 
     B, NB = num_words.shape
-    K = MAX_BLOCK_WORDS32
-    # slack *precedes* each member's content so the previous member's
-    # fixed-length stream tails land in slack, never in placed sections
-    CWa = out_words + K
+    K1 = streams32.shape[2]  # staged stream stride (words32)
     bw_off, data_off = _layout(nb)
-    end = data_off + (total_words >> 1)
-    row0 = jnp.arange(B, dtype=I32) * CWa + K
+    row0 = jnp.arange(B, dtype=I32) * out_words
 
-    flat = jnp.zeros((B * CWa + K + 8,), U32)
-    dump = B * CWa
+    # staging sections, concatenated into one flat source
+    probs16 = pdf[:, 0::2] | (pdf[:, 1::2] << u32(16))
+    meta_src = jnp.concatenate(
+        [hdr8, probs16, states.reshape(B, NB * 32)], axis=1
+    )  # (B, 136 + 32*NB)
+    MW = meta_src.shape[1]
 
-    # 1. per-block interleaved states (fixed offset 136; tail fixed later)
-    flat = ragged_place(states.reshape(B, NB * 32), row0 + _META_WORDS, flat)
-
-    # 2. blockWords pairs at dynamic bw_off
     bw_x = (uncomp_w.astype(U32) << u32(16)) | num_words.astype(U32)
-    bw_y = prefix.astype(U32)
     live = jnp.arange(NB, dtype=I32)[None, :] < nb[:, None]
     pairs = jnp.stack(
-        [jnp.where(live, bw_x, u32(0)), jnp.where(live, bw_y, u32(0))], axis=2
+        [jnp.where(live, bw_x, u32(0)),
+         jnp.where(live, prefix.astype(U32), u32(0))], axis=2
     ).reshape(B, 2 * NB)
-    if NB % 2:
-        pairs = jnp.pad(pairs, ((0, 0), (0, 2)))
-    flat = ragged_place(pairs, row0 + bw_off, flat)
+    PW = pairs.shape[1]
 
-    # 3. per-block compressed streams at data_off + alignedPrefix
-    rows = streams32[:, :, :K].reshape(B * NB, K)
-    offs = row0[:, None] + data_off[:, None] + (prefix.astype(I32) >> 1)
-    offs = jnp.where(live, offs, dump).reshape(-1)
-    flat = ragged_place(rows, offs, flat)
-
-    # 4. header + packed pdf table (static offsets, placed last)
-    probs16 = pdf[:, 0::2] | (pdf[:, 1::2] << u32(16))
-    flat = ragged_place(
-        jnp.concatenate([hdr8, probs16], axis=1), row0, flat
+    src_flat = jnp.concatenate(
+        [meta_src.reshape(-1), pairs.reshape(-1), streams32.reshape(-1)]
     )
+    off_pairs = B * MW
+    off_streams = off_pairs + B * PW
 
-    out = flat[: B * CWa].reshape(B, CWa)[:, K : K + out_words]
-    j = jnp.arange(out_words, dtype=I32)[None, :]
-    return jnp.where(j < end[:, None], out, u32(0))
+    b_ar = jnp.arange(B, dtype=I32)
+    # run family A: header + pdf + live states
+    dstA = row0[:, None]
+    srcA = (b_ar * MW)[:, None]
+    lenA = (_META_WORDS + 32 * nb)[:, None]
+    # run family B: blockWords pairs (pad pair left zero by the merge)
+    dstB = (row0 + bw_off)[:, None]
+    srcB = (off_pairs + b_ar * PW)[:, None]
+    lenB = (2 * nb)[:, None]
+    # run family C: per-block compressed streams
+    dstC = row0[:, None] + data_off[:, None] + (prefix.astype(I32) >> 1)
+    srcC = off_streams + (b_ar[:, None] * NB + jnp.arange(NB, dtype=I32)) * K1
+    lenC = jnp.where(live, (num_words + 1) >> 1, 0)
+
+    dst = jnp.concatenate([dstA, dstB, dstC], axis=1).reshape(-1)
+    src = jnp.concatenate([srcA, srcB, srcC], axis=1).reshape(-1)
+    lens = jnp.concatenate([lenA, lenB, lenC], axis=1).reshape(-1)
+
+    out = runs_merge(src_flat, dst, src, lens, B * out_words)
+    return out.reshape(B, out_words)
 
 
 def ans_encode_core(
@@ -268,28 +271,37 @@ def ans_decode_core(
     blk = jnp.arange(NB, dtype=I32)[None, :]
     live = (blk < nb[:, None]) & success[:, None]
 
-    st_idx = _META_WORDS + blk[:, :, None] * 32 + jnp.arange(32, dtype=I32)
-    states = row_gather(jnp.broadcast_to(st_idx, (B, NB, 32)))
+    from ..ops.pallas.merge import runs_merge
 
+    flat = comp32.reshape(-1)
+    b_ar = jnp.arange(B, dtype=I32)
+    abs_base = b_ar * CW + base32
+
+    # merge 1: extract per-member [states | blockWords] into dense staging
     bw_off, data_off = _layout(nb_arch)
-    bx = row_gather(bw_off[:, None] + 2 * blk)
-    by = row_gather(bw_off[:, None] + 2 * blk + 1)
+    SM = 32 * NB
+    PM = 2 * NB
+    dst1 = jnp.concatenate([b_ar * SM, B * SM + b_ar * PM])
+    src1 = jnp.concatenate([abs_base + _META_WORDS, abs_base + bw_off])
+    len1 = jnp.concatenate([32 * nb, 2 * nb])
+    stage1 = runs_merge(flat, dst1, src1, len1, B * (SM + PM))
+    states = stage1[: B * SM].reshape(B, NB, 32)
+    bw = stage1[B * SM :].reshape(B, NB, 2)
+
+    bx, by = bw[:, :, 0], bw[:, :, 1]
     uncomp_w = jnp.where(live, (bx >> u32(16)).astype(I32), 0)
     comp_w = jnp.where(live, (bx & u32(0xFFFF)).astype(I32), 0)
     starts = jnp.where(live, by.astype(I32), 0)
 
-    # stage each block's compressed words into a dense (B, NB, SW) buffer
-    # (per-block starts are 16B aligned, so uint16 word k of a block lives at
-    # staged word k>>1, half k&1)
-    from ..ops.pallas.ragged import ragged_extract
-
+    # merge 2: stage each block's compressed words into dense (B, NB, SW)
+    # rows (per-block starts are 16B aligned, so uint16 word k of a block
+    # lives at staged word k>>1, half k&1)
     SW = MAX_BLOCK_WORDS32 + 8
-    abs_off = (
-        (jnp.arange(B, dtype=I32) * CW + base32 + data_off)[:, None]
-        + (starts >> 1)
-    ).reshape(-1)
-    flat = jnp.concatenate([comp32.reshape(-1), jnp.zeros((SW + 8,), U32)])
-    streams32 = ragged_extract(flat, abs_off, rows=B * NB, width=SW).reshape(
+    r_flat = (b_ar[:, None] * NB + blk).reshape(-1)
+    dst2 = r_flat * SW
+    src2 = ((abs_base + data_off)[:, None] + (starts >> 1)).reshape(-1)
+    len2 = jnp.where(live, (comp_w + 1) >> 1, 0).reshape(-1)
+    streams32 = runs_merge(flat, dst2, src2, len2, B * NB * SW).reshape(
         B, NB, SW
     )
 

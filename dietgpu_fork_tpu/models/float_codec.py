@@ -176,25 +176,40 @@ def float_compress_core(
     tight = 4 * (8 + s1w_cap + s2w_cap) + sum(s.shape[1] * 4 for s in segs)
     CWf = min(max_float_compressed_size(ft, S_cap), tight) // 4
 
-    j = jnp.arange(CWf, dtype=I32)[None, :]
+    # archive assembly: 3-5 contiguous runs per member, ordered by dst
+    # (header, raw section(s), ANS segment(s)) — one ragged runs-merge
+    from ..ops.pallas.merge import runs_merge
 
-    def gat(arr, idx):
-        return jnp.take_along_axis(
-            arr, jnp.clip(idx, 0, arr.shape[1] - 1), axis=1
-        )
+    sections = [hdr] + packed_secs + segs
+    widths = [s.shape[1] for s in sections]
+    src_flat = jnp.concatenate([s.reshape(-1) for s in sections])
+    src_base = []
+    acc = 0
+    for w in widths:
+        src_base.append(acc)
+        acc += B * w
 
-    out = gat(hdr, j)
-    out = jnp.where(j >= 8, gat(packed_secs[0], j - 8), out)
-    if len(packed_secs) > 1:
-        out = jnp.where(
-            j >= o1[:, None], gat(packed_secs[1], j - o1[:, None]), out
-        )
-    out = jnp.where(j >= o2[:, None], gat(segs[0], j - o2[:, None]), out)
+    b_ar = jnp.arange(B, dtype=I32)
+    row0 = b_ar * CWf
+    zeros = jnp.zeros((B,), I32)
+    if len(packed_secs) == 1:
+        dst_cols = [zeros, zeros + 8, o2]
+        len_cols = [zeros + 8, s1w, seg_bytes[0] >> 2]
+    else:
+        dst_cols = [zeros, zeros + 8, o1, o2]
+        len_cols = [zeros + 8, s1w, s2w, seg_bytes[0] >> 2]
     if len(segs) > 1:
-        out = jnp.where(
-            j >= a1[:, None], gat(segs[1], j - a1[:, None]), out
-        )
-    out = jnp.where(j < end[:, None], out, u32(0))
+        dst_cols.append(a1)
+        len_cols.append(seg_bytes[1] >> 2)
+
+    dst = jnp.stack([row0 + d for d in dst_cols], axis=1).reshape(-1)
+    src = jnp.stack(
+        [src_base[i] + b_ar * widths[i] for i in range(len(sections))],
+        axis=1,
+    ).reshape(-1)
+    lens = jnp.stack(len_cols, axis=1).reshape(-1)
+
+    out = runs_merge(src_flat, dst, src, lens, B * CWf).reshape(B, CWf)
 
     comp_bytes = (4 * end).astype(U32)
     return out, comp_bytes
@@ -244,12 +259,21 @@ def float_decompress_core(
         planes.append(plane)
         success = success & ok & (psize.astype(I32) == n)
 
-    # raw section extraction (masked to n at the float level below)
+    # raw section extraction into dense staging (one ragged runs-merge;
+    # masked to n at the float level below)
+    from ..ops.pallas.merge import runs_merge
+
     S1W_cap, S2W_cap = _section_word_counts(out_floats, ft)
-    r1 = jnp.arange(max(S1W_cap, 1), dtype=I32)
-    r2 = jnp.arange(max(S2W_cap, 1), dtype=I32)
-    sec1_32 = gat(jnp.broadcast_to(8 + r1, (B, r1.size)))
-    sec2_32 = gat((8 + s1w)[:, None] + jnp.broadcast_to(r2, (B, r2.size)))
+    C1 = max(S1W_cap, 1)
+    C2 = max(S2W_cap, 1)
+    b_ar = jnp.arange(B, dtype=I32)
+    abs_base = b_ar * CW + base32
+    dst = jnp.concatenate([b_ar * C1, B * C1 + b_ar * C2])
+    src = jnp.concatenate([abs_base + 8, abs_base + 8 + s1w])
+    lens = jnp.concatenate([jnp.minimum(s1w, C1), jnp.minimum(s2w, C2)])
+    stage = runs_merge(comp32.reshape(-1), dst, src, lens, B * (C1 + C2))
+    sec1_32 = stage[: B * C1].reshape(B, C1)
+    sec2_32 = stage[B * C1 :].reshape(B, C2)
 
     pos = jnp.arange(out_floats, dtype=I32)[None, :]
     live = pos < n[:, None]

@@ -163,19 +163,27 @@ def sparse_float_compress_core(
     o_dense = o_bm + bmw
     end = o_dense + (dense_bytes.astype(I32) >> 2)
 
+    # archive assembly: [header | bitmap | dense archive] runs per member
+    from ..ops.pallas.merge import runs_merge
+
     CWs = (4 + bm32.shape[1] + dense32.shape[1])
-    j = jnp.arange(CWs, dtype=I32)[None, :]
-
-    def gat(arr, idx):
-        idx = jnp.clip(idx, 0, arr.shape[1] - 1)
-        return jnp.take_along_axis(arr, jnp.broadcast_to(idx, (B, CWs)), axis=1)
-
-    out = gat(hdr, j)
-    out = jnp.where(j >= o_bm, gat(bm32, j - o_bm), out)
-    out = jnp.where(
-        j >= o_dense[:, None], gat(dense32, j - o_dense[:, None]), out
+    BW = bm32.shape[1]
+    DW = dense32.shape[1]
+    src_flat = jnp.concatenate(
+        [hdr.reshape(-1), bm32.reshape(-1), dense32.reshape(-1)]
     )
-    out = jnp.where(j < end[:, None], out, u32(0))
+    b_ar = jnp.arange(B, dtype=I32)
+    row0 = b_ar * CWs
+    dst = jnp.stack(
+        [row0, row0 + o_bm, row0 + o_dense], axis=1
+    ).reshape(-1)
+    src = jnp.stack(
+        [b_ar * 4, B * 4 + b_ar * BW, B * 4 + B * BW + b_ar * DW], axis=1
+    ).reshape(-1)
+    lens = jnp.stack(
+        [jnp.full((B,), 4, I32), bmw, dense_bytes.astype(I32) >> 2], axis=1
+    ).reshape(-1)
+    out = runs_merge(src_flat, dst, src, lens, B * CWs).reshape(B, CWs)
     comp_bytes = (4 * end).astype(U32)
     return out, comp_bytes
 
@@ -199,13 +207,18 @@ def sparse_float_decompress_core(
         capacities = jnp.full((B,), out_floats, I32)
     success = n <= capacities.astype(I32)
 
+    from ..ops.pallas.merge import runs_merge
+
     bmw = _bitmap_words(n)
-    BMW_cap = _bitmap_words(out_floats)
-    bidx = 4 + jnp.arange(max(BMW_cap, 1), dtype=I32)[None, :]
-    bm32 = jnp.take_along_axis(
-        comp32, jnp.broadcast_to(jnp.clip(bidx, 0, CW - 1), (B, bidx.shape[1])),
-        axis=1,
-    )
+    BMW_cap = max(_bitmap_words(out_floats), 1)
+    b_ar = jnp.arange(B, dtype=I32)
+    bm32 = runs_merge(
+        comp32.reshape(-1),
+        b_ar * BMW_cap,
+        b_ar * CW + 4,
+        jnp.minimum(bmw, BMW_cap),
+        B * BMW_cap,
+    ).reshape(B, BMW_cap)
     bitmap = _unpack_bitmap(bm32, out_floats)
     pos = jnp.arange(out_floats, dtype=I32)[None, :]
     bitmap = bitmap & (pos < n[:, None])
