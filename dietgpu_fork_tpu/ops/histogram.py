@@ -38,10 +38,14 @@ def histogram_batched(
 
     if method == "auto":
         # measured on v5e for 16 MiB inputs: scatter-add 117 ms (serial),
-        # single-row sort 214 ms, MXU nibble matmul 58 ms (one-hot
-        # materialization bound), fused compare-reduce 19 ms. CPU scatter is
-        # fine and exact everywhere.
-        method = "onehot" if jax.default_backend() == "tpu" else "scatter"
+        # single-row sort 214 ms, XLA MXU nibble matmul 58 ms (one-hot
+        # materialization bound), fused compare-reduce ~20 ms, Pallas MXU
+        # nibble kernel ~1 ms. CPU scatter is fine and exact everywhere.
+        if jax.default_backend() == "tpu":
+            from .pallas.histogram_mxu import histogram_mxu
+
+            return histogram_mxu(data_u8, sizes)
+        method = "scatter"
 
     if method == "mxu":
         # Nibble decomposition: hist2d[hi, lo] = A_hi^T @ A_lo where the

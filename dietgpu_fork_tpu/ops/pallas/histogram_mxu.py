@@ -1,0 +1,104 @@
+"""Pallas MXU histogram: 256-bin byte counts as nibble-pair outer products.
+
+The reference's histogram is shared-memory atomics (GpuANSStatistics.cuh:
+21-134); TPU has no vector scatter, and a plain compare-and-reduce costs
+256 VPU compare+adds per byte (~20 ms for 16 MiB on v5e). The MXU version
+factors each byte into (hi, lo) nibbles and counts all 256 joint values as
+a 16x16 co-occurrence matrix: build 16-wide one-hot indicators for both
+nibbles of 8-byte groups in VMEM (lane l of an indicator row = byte slot
+l%8, nibble value l>>3) and contract over the group axis on the MXU:
+
+    P = A_hi^T @ A_lo          (128x128, f32 accumulation)
+    hist[vh, vl] = sum_s P[vh*8+s, vl*8+s]   (the 8 same-slot diagonals)
+
+One-hot values are exact in bfloat16 and every count fits f32 exactly
+(< 2^24 per cell per 128 MiB member). Callers pass zero-padded rows; the
+pad inflates bin 0 and is subtracted outside.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+I32 = jnp.int32
+U32 = jnp.uint32
+BF16 = jnp.bfloat16
+
+_R = 1024  # rows per grid chunk (chunk = R*128 bytes = 128 KiB)
+
+
+def _hist_kernel(x_ref, out_ref, acc, *, nch: int):
+    ch = pl.program_id(1)
+
+    @pl.when(ch == 0)
+    def _():
+        acc[...] = jnp.zeros((128, 128), jnp.float32)
+
+    x = x_ref[...].astype(I32)  # (R, 128); i32 lanes for the gather
+    lane = jax.lax.broadcasted_iota(I32, (_R, 128), 1)
+    val = lane >> 3  # target nibble value per lane
+
+    total = jnp.zeros((128, 128), jnp.float32)
+    for g in range(16):
+        idx = g * 8 + (lane & 7)
+        b = jnp.take_along_axis(x, idx, axis=1)
+        # select in f32 (same 32-bit tiling as the i1 mask), cast to bf16
+        a_hi = jnp.where((b >> 4) == val, 1.0, 0.0).astype(BF16)
+        a_lo = jnp.where((b & 0xF) == val, 1.0, 0.0).astype(BF16)
+        total = total + jax.lax.dot_general(
+            a_hi, a_lo,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc[...] = acc[...] + total
+
+    @pl.when(ch == nch - 1)
+    def _():
+        out_ref[...] = acc[...]
+
+
+@jax.jit
+def histogram_mxu(data_u8: jax.Array, sizes: jax.Array) -> jax.Array:
+    """data_u8: uint8[B, S] zero-padded rows; sizes: int32[B] valid bytes.
+    Returns uint32[B, 256] histograms of the first sizes[b] bytes."""
+    B, S = data_u8.shape
+    chunk = _R * 128
+    SP = -(-S // chunk) * chunk
+    nch = SP // chunk
+    pos = jnp.arange(S, dtype=I32)[None, :]
+    data_u8 = jnp.where(pos < sizes.astype(I32)[:, None], data_u8, 0)
+    x = jnp.pad(data_u8, ((0, 0), (0, SP - S))).reshape(B * nch, _R, 128)
+
+    p = pl.pallas_call(
+        functools.partial(_hist_kernel, nch=nch),
+        grid=(B, nch),
+        in_specs=[
+            pl.BlockSpec(
+                (None, _R, 128), lambda b, c: (b * nch + c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, 128, 128), lambda b, c: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 128, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((128, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(x)
+
+    # extract the 8 same-slot diagonals: hist[vh, vl] = sum_s P[8vh+s, 8vl+s]
+    p4 = p.reshape(B, 16, 8, 16, 8)
+    hist = jnp.einsum("bisjs->bij", p4).reshape(B, 256)
+    hist = jnp.round(hist).astype(U32)
+    # the zero-padding counted into bin 0
+    pad0 = (SP - sizes.astype(I32)).astype(U32)
+    hist = hist.at[:, 0].add(-pad0)
+    return hist

@@ -1,0 +1,429 @@
+"""Fused Pallas rANS encoder: two kernels, both full-lane-width.
+
+Phase A (main walk) processes 4 blocks per 128-lane row — the encoder has
+no per-block gathers in its hot loop (tables are shared per batch member),
+so nothing forces the quarter-lane layout the decoder needs. Per step it
+updates the 32 interleaved states of each block (magic-multiply division
+exactly as GpuANSEncode.cuh:50-90, rebuilt from 16-bit partial products
+because the VPU has no umulhi), and stores the step's potential emissions
+DENSELY: one u16 word + one mask bit per (block, step, lane). The walk is
+the third grid dimension (32 invocations x 4 steps) with states persisted
+in VMEM scratch — same scheme as the fused decoder.
+
+Phase B (compaction) turns the dense (step, lane) emission matrix into the
+format's stream order (step-major, lane-ascending within each block,
+GpuANSEncode.cuh:63-89) with pure gathers: for stream u16 index w, binary
+search the per-step count cumsum for its step, then rank-select the lane
+bit in that step's 32-bit emission mask. No scatter, no sort — the
+reference's warp ballot+prefix becomes popcount arithmetic.
+
+Emission-density bound: a lane emits at most one u16 per step, and a
+renormalization at probability p happens at most every other step for
+p >= 1/4; the format's worst case is 2560 u16 words per 4096-byte block
+(getRawCompBlockMaxSize, GpuANSEncode.cuh:31-36).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.constants import (
+    ANS_START_STATE,
+    ANS_STATE_BITS,
+    BLOCK_SIZE,
+    STEPS_PER_BLOCK,
+    WARP_SIZE,
+)
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+_UNROLL = 4  # steps per phase-A grid invocation
+_NJ = STEPS_PER_BLOCK // _UNROLL  # 32
+
+# stream output geometry: 1280 u32 words (2560 u16) per block, 10 chunks
+_SOW = 1280
+_NCH = _SOW // 128
+
+
+def _grp_iota(shape):
+    lane = jax.lax.broadcasted_iota(I32, shape, len(shape) - 1)
+    return lane, lane % WARP_SIZE
+
+
+def _seg_prefix_incl(x: jax.Array) -> jax.Array:
+    """Inclusive prefix sum within each aligned 32-lane group."""
+    _, gl = _grp_iota(x.shape)
+    n = x.shape[-1]
+    for k in (1, 2, 4, 8, 16):
+        shifted = pltpu.roll(x, k, x.ndim - 1)
+        x = x + jnp.where(gl >= k, shifted, 0)
+    return x
+
+
+def _grp_broadcast_last(x: jax.Array) -> jax.Array:
+    """Broadcast the value at the LAST lane of each 32-group to the group."""
+    _, gl = _grp_iota(x.shape)
+    out = jnp.where(gl == WARP_SIZE - 1, x, 0)
+    for k in (1, 2, 4, 8, 16):
+        shifted = pltpu.roll(out, WARP_SIZE * 4 - k, x.ndim - 1)
+        out = out | jnp.where(gl < WARP_SIZE - k, shifted, 0)
+    return out
+
+
+def _umulhi_via_16(a: jax.Array, mh: jax.Array, ml: jax.Array) -> jax.Array:
+    """High 32 bits of a * (mh<<16 | ml), all uint32 lanes."""
+    ah = a >> U32(16)
+    al = a & U32(0xFFFF)
+    t = al * ml
+    mid1 = ah * ml
+    mid2 = al * mh
+    carry = (
+        (t >> U32(16)) + (mid1 & U32(0xFFFF)) + (mid2 & U32(0xFFFF))
+    ) >> U32(16)
+    return ah * mh + (mid1 >> U32(16)) + (mid2 >> U32(16)) + carry
+
+
+def _encode_kernel(
+    sym_ref, val_ref, tab_ref, mag_ref, out_w_ref, out_m_ref,
+    out_st_ref, out_nw_ref, states_s, nw_s, *, prob_bits: int, G4: int,
+):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        states_s[...] = jnp.full((G4, 128), ANS_START_STATE, U32)
+        nw_s[...] = jnp.zeros((G4, 128), I32)
+
+    tab = tab_ref[...]  # (2, 128) packed pdf|cdf|shift
+    mag = mag_ref[...]  # (2, 128) magic
+    valid_n = val_ref[...]  # (G4, 128) int32: block byte count
+    states = states_s[...]
+    nw = nw_s[...]
+
+    lane, gl = _grp_iota((G4, 128))
+    state_check_shift = ANS_STATE_BITS - prob_bits
+    prob_mul = U32(1 << prob_bits)
+
+    words_out = []
+    masks_out = []
+    for u in range(_UNROLL):
+        i = j * _UNROLL + u
+        sym = sym_ref[:, u * 128 : (u + 1) * 128].astype(I32)
+        v = (i * WARP_SIZE + gl) < valid_n
+
+        t_lane = sym & 127
+        t_chunk = sym >> 7
+        ent = jnp.zeros((G4, 128), U32)
+        mg = jnp.zeros((G4, 128), U32)
+        for c in range(2):
+            ge = jnp.take_along_axis(
+                jnp.broadcast_to(tab[c][None, :], (G4, 128)), t_lane, axis=1
+            )
+            gm = jnp.take_along_axis(
+                jnp.broadcast_to(mag[c][None, :], (G4, 128)), t_lane, axis=1
+            )
+            ent = jnp.where(t_chunk == c, ge, ent)
+            mg = jnp.where(t_chunk == c, gm, mg)
+
+        # unpack_encode_table layout: pdf | cdf<<11 | shift<<23
+        pdf = ent & U32(0x7FF)
+        cdf = (ent >> U32(11)) & U32(0xFFF)
+        shift = ent >> U32(23)
+        # pdf==0 rows carry shift 32+; clamp (unsigned min doesn't lower)
+        shift = jnp.where(shift > U32(31), U32(31), shift)
+
+        write = v & (states >= (pdf << U32(state_check_shift)))
+        word = states & U32(0xFFFF)
+        states = jnp.where(write, states >> U32(16), states)
+
+        q = (
+            _umulhi_via_16(states, mg >> U32(16), mg & U32(0xFFFF)) + states
+        ) >> shift
+        mod = states - q * pdf
+        states = jnp.where(v, q * prob_mul + mod + cdf, states)
+
+        words_out.append(jnp.where(write, word, U32(0)))
+        # 32-bit emission mask per block, replicated across the group
+        bits = jnp.where(write, U32(1) << gl.astype(U32), U32(0))
+        for k in (1, 2, 4, 8, 16):
+            shifted = pltpu.roll(bits, k, 1)
+            bits = bits | jnp.where(gl >= k, shifted, U32(0))
+        bits = _grp_broadcast_last(bits)
+        masks_out.append(bits)
+        nw = nw + write.astype(I32)
+
+    states_s[...] = states
+    nw_s[...] = nw
+
+    out_w_ref[...] = jnp.concatenate(words_out, axis=1)
+    # one mask lane per (block, step): lanes 0..15 = (step u, group g).
+    # Mosaic's lane gather needs idx shape == operand shape, so gather
+    # full-width with idx lane*32 mod 128 (lanes 0..3 = group starts) and
+    # slice the first four lanes.
+    lane128 = jax.lax.broadcasted_iota(I32, (G4, 128), 1)
+    g_idx = (lane128 * 32) & 127
+    m4 = [jnp.take_along_axis(m, g_idx, axis=1)[:, :4] for m in masks_out]
+    out_m_ref[...] = jnp.concatenate(m4, axis=1)
+
+    @pl.when(j == _NJ - 1)
+    def _():
+        out_st_ref[...] = states_s[...]
+        # nw_s counts emissions per LANE; per-block count = group sum
+        cnt = _grp_broadcast_last(_seg_prefix_incl(nw_s[...]))
+        out_nw_ref[...] = jnp.take_along_axis(cnt, g_idx, axis=1)[:, :4]
+
+
+def _popcount32(x: jax.Array) -> jax.Array:
+    """SWAR population count of uint32 lanes."""
+    x = x - ((x >> U32(1)) & U32(0x55555555))
+    x = (x & U32(0x33333333)) + ((x >> U32(2)) & U32(0x33333333))
+    x = (x + (x >> U32(4))) & U32(0x0F0F0F0F)
+    return ((x * U32(0x01010101)) >> U32(24)).astype(I32)
+
+
+def _rank_select32(m: jax.Array, r: jax.Array) -> jax.Array:
+    """Lane index of the r-th (0-based) set bit of each uint32 in m."""
+    pos = jnp.zeros(m.shape, I32)
+    rem = r
+    for w in (16, 8, 4, 2, 1):
+        lowmask = U32((1 << w) - 1)
+        low = (m >> pos.astype(U32)) & lowmask
+        c = _popcount32(low)
+        go_hi = rem >= c
+        pos = jnp.where(go_hi, pos + w, pos)
+        rem = jnp.where(go_hi, rem - c, rem)
+    return pos
+
+
+def _compact_kernel(
+    nwmax_ref, words_ref, masks_ref, out_ref, csum_s, *, G: int,
+):
+    cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    ch = pl.program_id(2)
+    lane = jax.lax.broadcasted_iota(I32, (G, 128), 1)
+
+    @pl.when(ch == 0)
+    def _():
+        counts = _popcount32(masks_ref[...])
+        incl = counts
+        for k in (1, 2, 4, 8, 16, 32, 64):
+            shifted = pltpu.roll(incl, k, 1)
+            incl = incl + jnp.where(lane >= k, shifted, 0)
+        csum_s[...] = incl - counts  # exclusive cumsum of per-step counts
+
+    base = ch * 256  # first u16 index of this chunk (128 u32 words)
+
+    @pl.when(base < nwmax_ref[cell])
+    def _():
+        csum = csum_s[...]
+        masks = masks_ref[...]
+        nw = csum[:, 127:128] + _popcount32(masks[:, 127:128])
+
+        def u16_value(widx):
+            """widx: (G,128) u16 stream indices -> values."""
+            # step = last s with csum[s] <= widx (7-step binary search)
+            lo = jnp.zeros((G, 128), I32)
+            for w in (64, 32, 16, 8, 4, 2, 1):
+                mid = lo + w
+                probe = jnp.take_along_axis(csum, jnp.minimum(mid, 127), axis=1)
+                lo = jnp.where(probe <= widx, jnp.minimum(mid, 127), lo)
+            s = lo
+            cs = jnp.take_along_axis(csum, s, axis=1)
+            m = jnp.take_along_axis(masks, s, axis=1)
+            lb = _rank_select32(m, widx - cs)
+            flat = s * 32 + lb  # position in the dense (128, 32) emission grid
+            f_lane = flat & 127
+            f_chunk = flat >> 7
+            val = jnp.zeros((G, 128), U32)
+            for c in range(32):
+                g = jnp.take_along_axis(
+                    words_ref[:, c * 128 : (c + 1) * 128], f_lane, axis=1
+                )
+                val = jnp.where(f_chunk == c, g, val)
+            return jnp.where(widx < nw, val, U32(0))
+
+        w0 = base + lane * 2
+        lo16 = u16_value(w0)
+        hi16 = u16_value(w0 + 1)
+        out_ref[...] = lo16 | (hi16 << U32(16))
+
+    @pl.when(base >= nwmax_ref[cell])
+    def _():
+        out_ref[...] = jnp.zeros((G, 128), U32)
+
+
+@functools.partial(jax.jit, static_argnames=("prob_bits",))
+def encode_blocks_fused(
+    x_u8: jax.Array,
+    sizes: jax.Array,
+    packed_table: jax.Array,
+    magic_table: jax.Array,
+    prob_bits: int,
+):
+    """Pallas path of ops.rans_encode.encode_blocks (same contract).
+
+    x_u8: uint8[B, NB*4096] zero-padded; sizes int32[B];
+    packed_table/magic_table: uint32[B, 256].
+
+    Returns (states uint32[B, NB, 32], streams32 uint32[B, NB, SOW+1],
+    num_words int32[B, NB]).
+    """
+    B, padded = x_u8.shape
+    NB = padded // BLOCK_SIZE
+    G = 256 if NB >= 256 else max(8, -(-NB // 8) * 8)
+    G4 = G // 4
+    NBP = -(-NB // G) * G
+    CELLS = NBP // G
+
+    xp = jnp.pad(x_u8, ((0, 0), (0, (NBP - NB) * BLOCK_SIZE)))
+    # phase-A symbol layout: [cell, j, g4, u*128 + gb*32 + lb] =
+    # byte of block 4*g4+gb at position 32*(4j+u) + lb
+    sym = (
+        xp.reshape(B * CELLS, G4, 4, _NJ, _UNROLL, 32)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(B * CELLS, _NJ, G4, _UNROLL * 128)
+    )
+
+    blk = jnp.arange(NBP, dtype=I32)[None, :]
+    valid_n = jnp.clip(
+        sizes.astype(I32)[:, None] - blk * BLOCK_SIZE, 0, BLOCK_SIZE
+    )
+    # (B*CELLS, G4, 128): per-lane copy of its block's byte count
+    vn = (
+        valid_n.reshape(B * CELLS, G4, 4, 1)
+        .repeat(32, axis=3)
+        .reshape(B * CELLS, G4, 128)
+    )
+
+    tab2 = packed_table.reshape(B, 2, 128)
+    mag2 = magic_table.reshape(B, 2, 128)
+
+    cells = CELLS
+    grid_a = (B, CELLS, _NJ)
+
+    words_d, masks_d, st_d, nw_d = pl.pallas_call(
+        functools.partial(_encode_kernel, prob_bits=prob_bits, G4=G4),
+        grid=grid_a,
+        in_specs=[
+            pl.BlockSpec(
+                (None, None, G4, _UNROLL * 128),
+                lambda b, t, j: (b * cells + t, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, G4, 128), lambda b, t, j: (b * cells + t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, 2, 128), lambda b, t, j: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, 2, 128), lambda b, t, j: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (None, None, G4, _UNROLL * 128),
+                lambda b, t, j: (b * cells + t, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, None, G4, _UNROLL * 4),
+                lambda b, t, j: (b * cells + t, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, G4, 128), lambda b, t, j: (b * cells + t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, G4, 4), lambda b, t, j: (b * cells + t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * CELLS, _NJ, G4, _UNROLL * 128), U32),
+            jax.ShapeDtypeStruct((B * CELLS, _NJ, G4, _UNROLL * 4), U32),
+            jax.ShapeDtypeStruct((B * CELLS, G4, 128), U32),
+            jax.ShapeDtypeStruct((B * CELLS, G4, 4), I32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((G4, 128), U32),
+            pltpu.VMEM((G4, 128), I32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+    )(sym, vn, tab2, mag2)
+
+    # rearrange phase-A outputs to per-block rows for phase B
+    # words: [cell, j, g4, u*128 + gb*32 + lb] -> [cell*G+g, 4096]
+    words_pb = (
+        words_d.reshape(B * CELLS, _NJ, G4, _UNROLL, 4, 32)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(B * CELLS, G, STEPS_PER_BLOCK * 32)
+    )
+    # masks: [cell, j, g4, u*4 + gb] -> [cell, g, 128 steps]
+    masks_pb = (
+        masks_d.reshape(B * CELLS, _NJ, G4, _UNROLL, 4)
+        .transpose(0, 2, 4, 1, 3)
+        .reshape(B * CELLS, G, STEPS_PER_BLOCK)
+    )
+
+    # per-cell upper bound on emitted u16 words (drives phase-B early-out)
+    nwmax = jnp.max(nw_d.reshape(B * CELLS, G), axis=1).astype(I32)
+
+    grid_b = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, CELLS, _NCH),
+        in_specs=[
+            pl.BlockSpec(
+                (None, G, STEPS_PER_BLOCK * 32),
+                lambda b, t, c, nw_: (b * cells + t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, G, STEPS_PER_BLOCK),
+                lambda b, t, c, nw_: (b * cells + t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, None, G, 128),
+            lambda b, t, c, nw_: (b * cells + t, c, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((G, 128), I32),
+        ],
+    )
+    streams_t = pl.pallas_call(
+        functools.partial(_compact_kernel, G=G),
+        grid_spec=grid_b,
+        out_shape=jax.ShapeDtypeStruct((B * CELLS, _NCH, G, 128), U32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+    )(nwmax, words_pb, masks_pb)
+
+    streams32 = streams_t.transpose(0, 2, 1, 3).reshape(
+        B, NBP, _NCH * 128
+    )[:, :NB]
+    streams32 = jnp.pad(streams32, ((0, 0), (0, 0), (0, 1)))
+
+    # states back to (B, NB, 32): [cell, g4, gb*32+lb] -> [b, nb, 32]
+    states = (
+        st_d.reshape(B * CELLS, G4, 4, 32)
+        .reshape(B * CELLS, G, 32)
+        .reshape(B, NBP, 32)[:, :NB]
+    )
+    num_words = nw_d.reshape(B, NBP)[:, :NB]
+    return states, streams32, num_words

@@ -56,6 +56,13 @@ def decode_blocks(
 
     Returns out: uint8[B, NB, 4096] decoded bytes (zero where invalid).
     """
+    if jax.default_backend() == "tpu":
+        from .pallas.rans_decode_fused import decode_blocks_fused
+
+        return decode_blocks_fused(
+            streams32, comp_words, uncomp_words, states, lut, prob_bits
+        )
+
     from .pallas.lookup import chunked_lookup, rowwise_lookup
 
     B, NB, SW = streams32.shape

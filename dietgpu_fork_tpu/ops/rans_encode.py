@@ -62,6 +62,13 @@ def encode_blocks(
                  little-endian u16 pairs (last column is a scatter dump slot)
       num_words: int32[B, NB]       emitted uint16 words per block
     """
+    if jax.default_backend() == "tpu":
+        from .pallas.rans_encode_fused import encode_blocks_fused
+
+        return encode_blocks_fused(
+            x_u8, sizes, packed_table, magic_table, prob_bits
+        )
+
     B, padded = x_u8.shape
     NB = padded // BLOCK_SIZE
     sym = x_u8.astype(I32).reshape(B, NB, STEPS_PER_BLOCK, WARP_SIZE)
