@@ -74,11 +74,11 @@ _jit_ans_decode = jax.jit(
 )
 _jit_float_decompress = jax.jit(
     float_decompress_core,
-    static_argnames=("out_floats", "float_type", "prob_bits"),
+    static_argnames=("out_floats", "float_type", "prob_bits", "verify_checksum"),
 )
 _jit_sparse_decompress = jax.jit(
     sparse_float_decompress_core,
-    static_argnames=("out_floats", "float_type", "prob_bits"),
+    static_argnames=("out_floats", "float_type", "prob_bits", "verify_checksum"),
 )
 
 _DTYPE_TO_FT = {
@@ -371,12 +371,13 @@ def decompress_data(
         if sparse:
             words32, success, sizes, ca, cg = _jit_sparse_decompress(
                 bitcast_u8_to_u32(m), out_floats=max(cap, 1), float_type=ft,
-                prob_bits=prob_bits, capacities=jnp.asarray(caps))
+                prob_bits=prob_bits, capacities=jnp.asarray(caps),
+                verify_checksum=checksum)
         else:
             words32, success, sizes, ca, cg = _jit_float_decompress(
                 bitcast_u8_to_u32(m), jnp.zeros((B,), I32),
                 out_floats=max(cap, 1), float_type=ft, prob_bits=prob_bits,
-                capacities=jnp.asarray(caps))
+                capacities=jnp.asarray(caps), verify_checksum=checksum)
         out_np = np.asarray(words32).view(np.uint8)
         sizes_np = np.asarray(sizes)
         dt = dtype_of(ft)

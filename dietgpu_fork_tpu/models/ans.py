@@ -30,8 +30,8 @@ from ..core.constants import (
     max_compressed_size,
 )
 from ..ops.bitops import bitcast_u32_to_u8, bitcast_u8_to_u32, u32
-from ..ops.checksum import checksum_batched
-from ..ops.histogram import histogram_batched
+from ..ops.checksum import checksum_packed, mask_packed_bytes
+from ..ops.histogram import histogram_packed
 from ..ops.rans_decode import decode_blocks
 from ..ops.rans_encode import MAX_BLOCK_WORDS32, encode_blocks
 from ..ops.table import (
@@ -129,33 +129,36 @@ def _assemble_archives(
 
 
 def ans_encode_core(
-    x_u8: jax.Array,
+    x32: jax.Array,
     sizes: jax.Array,
     prob_bits: int = 10,
     use_checksum: bool = False,
     hist: Optional[jax.Array] = None,
+    s_bytes: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Compress batch rows to coalesced ANS archives in uint32 words.
 
-    x_u8: uint8[B, S] row-padded inputs; sizes: int32[B] valid byte counts.
+    x32: uint32[B, ceil(S/4)] packed row bytes (little-endian); sizes:
+    int32[B] valid byte counts; s_bytes: row byte capacity (default 4*W).
     Returns (out32 uint32[B, CW_tight], comp_bytes uint32[B]).
     """
-    B, S = x_u8.shape
+    B, W = x32.shape
+    S = s_bytes if s_bytes is not None else 4 * W
     NB = max(1, -(-S // BLOCK_SIZE))
     sizes = sizes.astype(I32)
 
     if hist is None:
-        hist = histogram_batched(x_u8, sizes)
+        hist = histogram_packed(x32, sizes)
     pdf, cdf, magic, shift = normalize_probs_batched(hist, sizes, prob_bits)
 
     csum = (
-        checksum_batched(x_u8, sizes)
+        checksum_packed(x32, sizes)
         if use_checksum
         else jnp.zeros((B,), U32)
     )
 
-    pad = NB * BLOCK_SIZE - S
-    xp = jnp.pad(x_u8, ((0, 0), (0, pad))) if pad else x_u8
+    pad = NB * (BLOCK_SIZE // 4) - W
+    xp = jnp.pad(x32, ((0, 0), (0, pad))) if pad else x32
 
     packed = pack_encode_table(pdf, cdf, shift)
     states, streams32, num_words = encode_blocks(
@@ -216,7 +219,13 @@ def ans_encode_padded(
     """Byte-row wrapper around ans_encode_core with the reference's
     ``max_compressed_size`` output-buffer contract (zero padded)."""
     S = x_u8.shape[1]
-    out32, comp_bytes = ans_encode_core(x_u8, sizes, prob_bits, use_checksum, hist)
+    pad = (-S) % 4
+    if pad:
+        x_u8 = jnp.pad(x_u8, ((0, 0), (0, pad)))
+    x32 = mask_packed_bytes(bitcast_u8_to_u32(x_u8), sizes.astype(I32))
+    out32, comp_bytes = ans_encode_core(
+        x32, sizes, prob_bits, use_checksum, hist, s_bytes=S
+    )
     comp = bitcast_u32_to_u8(out32)
     cb = out_bytes if out_bytes is not None else max_compressed_size(S)
     if comp.shape[1] < cb:
@@ -235,7 +244,8 @@ def ans_decode_core(
     within the rows of ``comp32`` (the float codec places its ANS segments at
     dynamic offsets past headers and raw sections).
 
-    Returns (out uint8[B, out_capacity], success bool[B], sizes uint32[B],
+    Returns (out32 uint32[B, ceil(out_capacity/4)] packed decoded bytes
+    (zeros beyond the decoded size), success bool[B], sizes uint32[B],
     archive_checksum uint32[B]). Mirrors ansDecodeKernel's capacity check:
     members whose decoded size exceeds capacity fail and report the required
     size (GpuANSDecode.cuh:326-337).
@@ -308,12 +318,11 @@ def ans_decode_core(
     out_blocks = decode_blocks(
         streams32, comp_w, uncomp_w, states, lut, prob_bits
     )
-    out = out_blocks.reshape(B, NB * BLOCK_SIZE)[:, :out_capacity]
-    pos = jnp.arange(out_capacity, dtype=I32)[None, :]
-    out = jnp.where(
-        (pos < n[:, None]) & success[:, None], out, jnp.uint8(0)
-    )
-    return out, success, n.astype(U32), csum
+    OW = -(-out_capacity // 4)
+    out32 = bitcast_u8_to_u32(out_blocks.reshape(B, NB * BLOCK_SIZE))[:, :OW]
+    nbytes = jnp.where(success, n, 0)
+    out32 = mask_packed_bytes(out32, nbytes)
+    return out32, success, n.astype(U32), csum
 
 
 def ans_decode_padded(
@@ -322,12 +331,15 @@ def ans_decode_padded(
     prob_bits: int = 10,
     capacities: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Byte-row wrapper around ans_decode_core (archives at row starts)."""
+    """Byte-row wrapper around ans_decode_core (archives at row starts;
+    output unpacked back to uint8 rows)."""
     B = comp_u8.shape[0]
     comp32 = bitcast_u8_to_u32(comp_u8)
-    return ans_decode_core(
+    out32, success, n, csum = ans_decode_core(
         comp32, jnp.zeros((B,), I32), out_capacity, prob_bits, capacities
     )
+    out = bitcast_u32_to_u8(out32)[:, :out_capacity]
+    return out, success, n, csum
 
 
 def ans_get_compressed_info(comp_u8: jax.Array):

@@ -33,8 +33,8 @@ from ..core.constants import (
     max_float_compressed_size,
 )
 from ..ops.bitops import bitcast_u32_to_u8, u32
-from ..ops.checksum import checksum_batched
-from ..ops.float_split import join_words32, split_words32
+from ..ops.checksum import checksum_packed, mask_packed_bytes
+from ..ops.float_split import join_packed, split_packed
 from .ans import ans_decode_core, ans_encode_core
 
 I32 = jnp.int32
@@ -69,36 +69,6 @@ def _section_word_counts(n, ft: FloatType):
     raise ValueError(ft)
 
 
-def _pack_u8(sec: jax.Array, n: jax.Array) -> jax.Array:
-    """uint8[B, S] -> masked, zero-padded (little-endian) uint32[B, ceil(S/4)]."""
-    B, S = sec.shape
-    pos = jnp.arange(S, dtype=I32)[None, :]
-    sec = jnp.where(pos < n[:, None], sec, U8(0))
-    pad = (-S) % 4
-    if pad:
-        sec = jnp.pad(sec, ((0, 0), (0, pad)))
-    v = sec.astype(U32).reshape(B, -1, 4)
-    return v[..., 0] | (v[..., 1] << u32(8)) | (v[..., 2] << u32(16)) | (
-        v[..., 3] << u32(24)
-    )
-
-
-def _pack_u16(sec: jax.Array, n: jax.Array) -> jax.Array:
-    B, S = sec.shape
-    pos = jnp.arange(S, dtype=I32)[None, :]
-    sec = jnp.where(pos < n[:, None], sec, U16(0))
-    pad = (-S) % 2
-    if pad:
-        sec = jnp.pad(sec, ((0, 0), (0, pad)))
-    v = sec.astype(U32).reshape(B, -1, 2)
-    return v[..., 0] | (v[..., 1] << u32(16))
-
-
-def _pack_u32(sec: jax.Array, n: jax.Array) -> jax.Array:
-    pos = jnp.arange(sec.shape[1], dtype=I32)[None, :]
-    return jnp.where(pos < n[:, None], sec.astype(U32), u32(0))
-
-
 def float_compress_core(
     data32: jax.Array,
     n: jax.Array,
@@ -113,42 +83,57 @@ def float_compress_core(
     """
     ft = FloatType(float_type)
     B, W32 = data32.shape
+    # the packed split deinterleaves lanes 2:1/4:1; pad rows so the strides
+    # divide evenly (extra capacity is zero-masked everywhere)
+    req = {
+        FloatType.FLOAT16: 2, FloatType.BFLOAT16: 2,
+        FloatType.FLOAT32: 4, FloatType.FLOAT64: 8,
+    }[ft]
+    if W32 % req:
+        data32 = jnp.pad(data32, ((0, 0), (0, req - W32 % req)))
+        W32 = data32.shape[1]
     S_cap = _floats_capacity(W32, ft)
     ws = FLOAT_WORD_SIZE[ft]
     n = n.astype(I32)
 
     csum = (
-        checksum_batched(bitcast_u32_to_u8(data32), n * ws)
+        checksum_packed(data32, n * ws)
         if use_checksum
         else jnp.zeros((B,), U32)
     )
 
-    comp_planes, noncomp = split_words32(data32, S_cap, ft)
+    comp_planes, noncomp = split_packed(data32, ft)
+    # materialize the split planes: letting XLA fuse the strided-slice
+    # deinterleave into the Pallas operands' relayout produces a serial
+    # gather (measured 10x slowdown on v5e)
+    comp_planes = [jax.lax.optimization_barrier(p) for p in comp_planes]
+    noncomp = [jax.lax.optimization_barrier(s) for s in noncomp]
 
     # ANS-encode each exponent plane (independent archives; fp64 has two —
-    # RUN_ANS, GpuFloatCompress.cuh:807-869)
+    # RUN_ANS, GpuFloatCompress.cuh:807-869). One exponent byte per float
+    # per plane, so the plane byte capacity is S_cap.
     segs = []
     seg_bytes = []
     for plane in comp_planes:
-        a32, ab = ans_encode_core(plane, n, prob_bits, use_checksum=False)
+        a32, ab = ans_encode_core(
+            plane, n, prob_bits, use_checksum=False, s_bytes=S_cap
+        )
         segs.append(a32)
         seg_bytes.append(ab.astype(I32))
 
-    # pre-pack raw sections into uint32 space
-    if ft in (FloatType.FLOAT16, FloatType.BFLOAT16):
-        packed_secs = [_pack_u8(noncomp[0], n)]
-    elif ft == FloatType.FLOAT32:
-        packed_secs = [_pack_u16(noncomp[0], n), _pack_u8(noncomp[1], n)]
-    else:
-        packed_secs = [_pack_u32(noncomp[0], n), _pack_u16(noncomp[1], n)]
-
-    # zero-pad each section to its 16B-aligned capacity so the assembly
-    # gather reads zeros (not clip-repeats) in the alignment tail
+    # raw sections: mask bytes beyond each member's count, pad to the
+    # 16B-aligned capacity (split_packed already emits archive layout)
+    sec_bpi = {  # bytes per float item in each raw section
+        FloatType.FLOAT16: (1,), FloatType.BFLOAT16: (1,),
+        FloatType.FLOAT32: (2, 1), FloatType.FLOAT64: (4, 2),
+    }[ft]
     sw_caps = _section_word_counts(S_cap, ft)
-    packed_secs = [
-        jnp.pad(s, ((0, 0), (0, max(int(c) - s.shape[1], 0))))
-        for s, c in zip(packed_secs, sw_caps)
-    ]
+    packed_secs = []
+    for sec, bpi, cap in zip(noncomp, sec_bpi, sw_caps):
+        sec = mask_packed_bytes(sec, n * bpi)
+        packed_secs.append(
+            jnp.pad(sec, ((0, 0), (0, max(int(cap) - sec.shape[1], 0))))
+        )
 
     s1w, s2w = _section_word_counts(n, ft)
     first_seg = seg_bytes[0] if len(segs) > 1 else jnp.zeros((B,), I32)
@@ -222,11 +207,13 @@ def float_decompress_core(
     float_type: FloatType,
     prob_bits: int = 10,
     capacities: Optional[jax.Array] = None,
+    verify_checksum: bool = False,
 ):
     """Decompress float archives at per-member uint32 offsets base32.
 
     Returns (words32 uint32[B, W32cap], success bool[B], n uint32[B],
-    archive_checksum uint32[B], computed_checksum uint32[B]).
+    archive_checksum uint32[B], computed_checksum uint32[B] — zeros unless
+    verify_checksum, which costs an extra pass over the output).
     """
     ft = FloatType(float_type)
     B, CW = comp32.shape
@@ -275,35 +262,25 @@ def float_decompress_core(
     sec1_32 = stage[: B * C1].reshape(B, C1)
     sec2_32 = stage[B * C1 :].reshape(B, C2)
 
-    pos = jnp.arange(out_floats, dtype=I32)[None, :]
-    live = pos < n[:, None]
-
-    def unpack_u8(sec32):
-        b = jnp.stack(
-            [(sec32 >> u32(8 * k)) & u32(0xFF) for k in range(4)], axis=2
-        ).reshape(B, -1).astype(U8)
-        return jnp.where(live, b[:, :out_floats], U8(0))
-
-    def unpack_u16(sec32):
-        h = jnp.stack(
-            [sec32 & u32(0xFFFF), sec32 >> u32(16)], axis=2
-        ).reshape(B, -1).astype(U16)
-        return jnp.where(live, h[:, :out_floats], U16(0))
-
+    # join in packed uint32 lanes: planes are already packed exponent bytes
+    # (zeros beyond n from the ANS decoder), sections are archive-exact
+    # (zeros in their alignment tails). E = exponent-plane words per member.
+    E = max(-(-out_floats // 4), 1)
     if ft in (FloatType.FLOAT16, FloatType.BFLOAT16):
-        noncomp = [unpack_u8(sec1_32)]
+        secs = [sec1_32[:, :E]]
     elif ft == FloatType.FLOAT32:
-        noncomp = [unpack_u16(sec1_32), unpack_u8(sec2_32)]
+        secs = [sec1_32[:, : 2 * E], sec2_32[:, :E]]
     else:
-        noncomp = [
-            jnp.where(live, sec1_32[:, :out_floats], u32(0)),
-            unpack_u16(sec2_32),
-        ]
+        secs = [sec1_32[:, : 4 * E], sec2_32[:, : 2 * E]]
+    comp_planes = [p[:, :E] for p in planes]
+    words32 = join_packed(comp_planes, secs, ft)
+    words32 = mask_packed_bytes(words32, jnp.where(success, n, 0) * ws)
 
-    comp_planes = [jnp.where(live, p[:, :out_floats], U8(0)) for p in planes]
-    words32 = join_words32(comp_planes, noncomp, ft)
-
-    csum_got = checksum_batched(bitcast_u32_to_u8(words32), n * ws)
+    csum_got = (
+        checksum_packed(words32, n * ws)
+        if verify_checksum
+        else jnp.zeros((B,), U32)
+    )
     return words32, success, n.astype(U32), csum_arch, csum_got
 
 

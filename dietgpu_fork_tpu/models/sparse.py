@@ -194,6 +194,7 @@ def sparse_float_decompress_core(
     float_type: FloatType,
     prob_bits: int = 10,
     capacities: Optional[jax.Array] = None,
+    verify_checksum: bool = False,
 ):
     """Decompress sparse float archives.
 
@@ -225,7 +226,8 @@ def sparse_float_decompress_core(
 
     dense_base = 4 + bmw
     nz32, dsuccess, nnz, csum_arch, csum_got = float_decompress_core(
-        comp32, dense_base, out_floats, ft, prob_bits, capacities
+        comp32, dense_base, out_floats, ft, prob_bits, capacities,
+        verify_checksum,
     )
     success = success & dsuccess
 

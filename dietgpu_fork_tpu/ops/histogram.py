@@ -115,3 +115,16 @@ def histogram_batched(
         return hist.astype(U32)
 
     raise ValueError(f"unknown histogram method {method!r}")
+
+
+def histogram_packed(data32: jax.Array, sizes: jax.Array) -> jax.Array:
+    """Byte histogram of uint32-packed rows (B, W); sizes in bytes.
+    TPU: Pallas MXU kernel with in-kernel byte extraction; elsewhere the
+    rows are unpacked once and counted with scatter-add."""
+    from .pallas.histogram_mxu import histogram_mxu_packed
+
+    if jax.default_backend() == "tpu":
+        return histogram_mxu_packed(data32, sizes)
+    from .bitops import bitcast_u32_to_u8
+
+    return histogram_batched(bitcast_u32_to_u8(data32), sizes)

@@ -1,0 +1,397 @@
+"""Pallas float split/join: packed-plane (de)interleave at HBM speed.
+
+The float codec's split is elementwise bit math plus a 2:1 or 4:1 lane
+(de)interleave; XLA lowers the strided slices to a serial gather on TPU
+(~70 ms for 32 MiB), so these kernels do the interleave with static
+lane-gathers inside VMEM instead (~2 vector ops per output word).
+
+Key layout move: a (rows, 128) tile viewed as (rows/2, 2, 128) or
+(rows/4, 4, 128) is a FREE reshape, and Mosaic slices the middle "slab"
+dimension of values and refs natively — so "input words 2i, 2i+1" becomes
+"slab = bit 6 of the lane, lane (2i) mod 128": one static take_along_axis
+per slab plus selects.
+
+Same contracts as ops.float_split.split_packed / join_packed
+(reference bit tricks: FloatTypeInfo<FT>::split/join,
+GpuFloatUtils.cuh:194-382).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.constants import FloatType
+
+I32 = jnp.int32
+U32 = jnp.uint32
+_B0 = 0xFF  # plain int: a jnp scalar here would be a captured constant
+
+_ROWS = 1024  # input words rows per grid cell (512 KiB)
+
+
+def _lane(shape):
+    return jax.lax.broadcasted_iota(I32, shape, len(shape) - 1)
+
+
+def _gsel(slabs, flat_lane_idx, sel):
+    """value[r, l] = slabs[sel[r,l]][r, flat_lane_idx[r,l] & 127]."""
+    idx = flat_lane_idx & 127
+    out = jnp.take_along_axis(slabs[0], idx, axis=1)
+    for p in range(1, len(slabs)):
+        g = jnp.take_along_axis(slabs[p], idx, axis=1)
+        out = jnp.where(sel == p, g, out)
+    return out
+
+
+def _rotl16x2(x):
+    return ((x << U32(1)) & U32(0xFFFEFFFE)) | ((x >> U32(15)) & U32(0x00010001))
+
+
+def _rotr16x2(x):
+    return ((x >> U32(1)) & U32(0x7FFF7FFF)) | ((x << U32(15)) & U32(0x80008000))
+
+
+def _pack4(b0, b1, b2, b3):
+    return b0 | (b1 << U32(8)) | (b2 << U32(16)) | (b3 << U32(24))
+
+
+def _b(x, k):
+    return (x >> U32(8 * k)) & _B0
+
+
+def _bv(x, k):
+    """byte k (vector of lane-varying k) of each uint32."""
+    return (x >> (U32(8) * k.astype(U32))) & _B0
+
+
+def _deint2(x0, x1, shape):
+    """(even, odd) word streams of the pair-slab view."""
+    l = _lane(shape)
+    sel = l >> 6
+    we = _gsel([x0, x1], 2 * l, sel)
+    wo = _gsel([x0, x1], 2 * l + 1, sel)
+    return we, wo
+
+
+def _deint4(ws, shape):
+    l = _lane(shape)
+    sel = l >> 5
+    return [_gsel(ws, 4 * l + k, sel) for k in range(4)]
+
+
+# ---------------------------------------------------------------------------
+# split kernels
+# ---------------------------------------------------------------------------
+
+
+def _split16_kernel(x_ref, exp_ref, raw_ref, *, rotate: bool):
+    R2 = exp_ref.shape[0]
+    x0 = x_ref[:, 0, :]
+    x1 = x_ref[:, 1, :]
+    if rotate:
+        x0 = _rotl16x2(x0)
+        x1 = _rotl16x2(x1)
+    we, wo = _deint2(x0, x1, (R2, 128))
+    exp_ref[...] = _pack4(
+        (we >> U32(8)) & _B0, we >> U32(24),
+        (wo >> U32(8)) & _B0, wo >> U32(24),
+    )
+    raw_ref[...] = _pack4(
+        we & _B0, (we >> U32(16)) & _B0,
+        wo & _B0, (wo >> U32(16)) & _B0,
+    )
+
+
+def _split32_kernel(x_ref, exp_ref, sec1_ref, sec2_ref):
+    R4 = exp_ref.shape[0]
+    w = [
+        (x_ref[:, p, :] << U32(1)) | (x_ref[:, p, :] >> U32(31))
+        for p in range(4)
+    ]
+    w0, w1, w2, w3 = _deint4(w, (R4, 128))
+    exp_ref[...] = _pack4(
+        w0 >> U32(24), w1 >> U32(24), w2 >> U32(24), w3 >> U32(24)
+    )
+    sec2_ref[...] = _pack4(
+        (w0 >> U32(16)) & _B0, (w1 >> U32(16)) & _B0,
+        (w2 >> U32(16)) & _B0, (w3 >> U32(16)) & _B0,
+    )
+    # sec1: low 16 bits of word pairs (2j, 2j+1); two output slabs
+    for half in range(2):
+        a, bb = _deint2(w[2 * half], w[2 * half + 1], (R4, 128))
+        sec1_ref[:, half, :] = (a & U32(0xFFFF)) | (bb << U32(16))
+
+
+def _split64_kernel(x_ref, exp0_ref, exp1_ref, sec1_ref, sec2_ref):
+    RF = sec1_ref.shape[0]  # float rows (128 floats each)
+    lo, hi = _deint2(x_ref[:, 0, :], x_ref[:, 1, :], (RF, 128))
+    v_hi = (hi << U32(1)) | (lo >> U32(31))
+    v_lo = (lo << U32(1)) | (hi >> U32(31))
+    sec1_ref[...] = v_lo
+
+    vh4 = v_hi.reshape(RF // 4, 4, 128)
+    h0, h1, h2, h3 = _deint4(
+        [vh4[:, p, :] for p in range(4)], (RF // 4, 128)
+    )
+    exp0_ref[...] = _pack4(
+        h0 >> U32(24), h1 >> U32(24), h2 >> U32(24), h3 >> U32(24)
+    )
+    exp1_ref[...] = _pack4(
+        (h0 >> U32(16)) & _B0, (h1 >> U32(16)) & _B0,
+        (h2 >> U32(16)) & _B0, (h3 >> U32(16)) & _B0,
+    )
+    vh2 = v_hi.reshape(RF // 2, 2, 128)
+    a, bb = _deint2(vh2[:, 0, :], vh2[:, 1, :], (RF // 2, 128))
+    sec2_ref[...] = (a & U32(0xFFFF)) | (bb << U32(16))
+
+
+# ---------------------------------------------------------------------------
+# join kernels
+# ---------------------------------------------------------------------------
+
+
+def _join16_kernel(exp_ref, raw_ref, out_ref, *, rotate: bool):
+    R2 = exp_ref.shape[0]
+    exp = exp_ref[...]
+    raw = raw_ref[...]
+    l = _lane((R2, 128))
+    for p in range(2):
+        src = 64 * p + (l >> 1)
+        e = jnp.take_along_axis(exp, src, axis=1)
+        r = jnp.take_along_axis(raw, src, axis=1)
+        k = 2 * (l & 1)
+        e0 = _bv(e, k)
+        e1 = _bv(e, k + 1)
+        r0 = _bv(r, k)
+        r1 = _bv(r, k + 1)
+        w = r0 | (e0 << U32(8)) | (r1 << U32(16)) | (e1 << U32(24))
+        out_ref[:, p, :] = w if not rotate else _rotr16x2(w)
+
+
+def _join32_kernel(exp_ref, sec1_ref, sec2_ref, out_ref):
+    R4 = exp_ref.shape[0]
+    exp = exp_ref[...]
+    sec2 = sec2_ref[...]
+    l = _lane((R4, 128))
+    for p in range(4):
+        j_lane = 32 * p + (l >> 2)
+        k = l & 3
+        eb = _bv(jnp.take_along_axis(exp, j_lane, axis=1), k)
+        tb = _bv(jnp.take_along_axis(sec2, j_lane, axis=1), k)
+        s1_lane = 64 * (p & 1) + (l >> 1)
+        s1 = jnp.take_along_axis(sec1_ref[:, p >> 1, :], s1_lane, axis=1)
+        low = jnp.where((l & 1) == 1, s1 >> U32(16), s1 & U32(0xFFFF))
+        r = low | (tb << U32(16)) | (eb << U32(24))
+        out_ref[:, p, :] = (r >> U32(1)) | (r << U32(31))
+
+
+def _join64_kernel(exp0_ref, exp1_ref, sec1_ref, sec2_ref, out_ref):
+    RF4 = exp0_ref.shape[0]  # groups of 4 float rows
+    e0 = exp0_ref[...]
+    e1 = exp1_ref[...]
+    l = _lane((RF4, 128))
+    for q in range(4):  # float row rf = 4*r4 + q
+        e_lane = 32 * q + (l >> 2)
+        k = l & 3
+        eb0 = _bv(jnp.take_along_axis(e0, e_lane, axis=1), k)
+        eb1 = _bv(jnp.take_along_axis(e1, e_lane, axis=1), k)
+        # sec2 word (f>>1): slab q>>1 of the (RF4, 2, 128) pair view,
+        # lane 64*(q&1) + (l>>1), half l&1
+        s2 = jnp.take_along_axis(
+            sec2_ref[:, q >> 1, :], 64 * (q & 1) + (l >> 1), axis=1
+        )
+        mid = jnp.where((l & 1) == 1, s2 >> U32(16), s2 & U32(0xFFFF))
+        v_hi = mid | (eb1 << U32(16)) | (eb0 << U32(24))
+        v_lo = sec1_ref[:, q, :]
+        lo = (v_lo >> U32(1)) | (v_hi << U32(31))
+        hi = (v_hi >> U32(1)) | (v_lo << U32(31))
+        # out rows 2rf + t (t = lane>=64): word lanes interleave (lo, hi)
+        m = l >> 1
+        for t in range(2):
+            idx = 64 * t + m
+            ol = jnp.take_along_axis(lo, idx, axis=1)
+            oh = jnp.take_along_axis(hi, idx, axis=1)
+            out_ref[:, 2 * q + t, :] = jnp.where((l & 1) == 1, oh, ol)
+
+
+# ---------------------------------------------------------------------------
+# drivers
+# ---------------------------------------------------------------------------
+
+
+def _cells(x, rows):
+    """(B, W) -> padded (B*T, rows, 128) cell view plus (B, T, Wp)."""
+    B, W = x.shape
+    chunk = rows * 128
+    Wp = -(-W // chunk) * chunk
+    xp = jnp.pad(x, ((0, 0), (0, Wp - W)))
+    return xp.reshape(B * (Wp // chunk), rows // 2, 2, 128), B, Wp // chunk, Wp
+
+
+def _vmem(*shape_dtypes):
+    return [
+        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in shape_dtypes
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=("float_type",))
+def split_packed_tpu(data32, float_type: FloatType):
+    ft = FloatType(float_type)
+    x, B, T, Wp = _cells(data32, _ROWS)
+    C = B * T
+    R2 = _ROWS // 2
+    R4 = _ROWS // 4
+    R8 = _ROWS // 8
+
+    spec_in = pl.BlockSpec(
+        (None, R2, 2, 128), lambda c: (c, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    def out2(r):
+        return pl.BlockSpec(
+            (None, r, 128), lambda c: (c, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    def out3(r, s):
+        return pl.BlockSpec(
+            (None, r, s, 128), lambda c: (c, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    if ft in (FloatType.FLOAT16, FloatType.BFLOAT16):
+        exp, raw = pl.pallas_call(
+            functools.partial(
+                _split16_kernel, rotate=ft == FloatType.BFLOAT16
+            ),
+            grid=(C,),
+            in_specs=[spec_in],
+            out_specs=[out2(R2), out2(R2)],
+            out_shape=[
+                jax.ShapeDtypeStruct((C, R2, 128), U32),
+                jax.ShapeDtypeStruct((C, R2, 128), U32),
+            ],
+        )(x)
+        W2 = data32.shape[1] // 2
+        return (
+            [exp.reshape(B, -1)[:, :W2]],
+            [raw.reshape(B, -1)[:, :W2]],
+        )
+    if ft == FloatType.FLOAT32:
+        x4 = x.reshape(C, R4, 4, 128)
+        exp, sec1, sec2 = pl.pallas_call(
+            _split32_kernel,
+            grid=(C,),
+            in_specs=[out3(R4, 4)],
+            out_specs=[out2(R4), out3(R4, 2), out2(R4)],
+            out_shape=[
+                jax.ShapeDtypeStruct((C, R4, 128), U32),
+                jax.ShapeDtypeStruct((C, R4, 2, 128), U32),
+                jax.ShapeDtypeStruct((C, R4, 128), U32),
+            ],
+        )(x4)
+        W = data32.shape[1]
+        return (
+            [exp.reshape(B, -1)[:, : W // 4]],
+            [sec1.reshape(B, -1)[:, : W // 2],
+             sec2.reshape(B, -1)[:, : W // 4]],
+        )
+    if ft == FloatType.FLOAT64:
+        exp0, exp1, sec1, sec2 = pl.pallas_call(
+            _split64_kernel,
+            grid=(C,),
+            in_specs=[spec_in],
+            out_specs=[out2(R8), out2(R8), out2(R2), out2(R4)],
+            out_shape=[
+                jax.ShapeDtypeStruct((C, R8, 128), U32),
+                jax.ShapeDtypeStruct((C, R8, 128), U32),
+                jax.ShapeDtypeStruct((C, R2, 128), U32),
+                jax.ShapeDtypeStruct((C, R4, 128), U32),
+            ],
+        )(x)
+        W = data32.shape[1]
+        return (
+            [exp0.reshape(B, -1)[:, : W // 8],
+             exp1.reshape(B, -1)[:, : W // 8]],
+            [sec1.reshape(B, -1)[:, : W // 2],
+             sec2.reshape(B, -1)[:, : W // 4]],
+        )
+    raise ValueError(ft)
+
+
+def _pad_cells2(p, B, rows):
+    """(B, W) plane -> (B*T, rows, 128) padded cells (T from W)."""
+    W = p.shape[1]
+    chunk = rows * 128
+    Wp = -(-W // chunk) * chunk
+    return (
+        jnp.pad(p, ((0, 0), (0, Wp - W))).reshape(-1, rows, 128),
+        Wp // chunk,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("float_type",))
+def join_packed_tpu(comp, raw, float_type: FloatType):
+    ft = FloatType(float_type)
+    B = comp[0].shape[0]
+    R2 = _ROWS // 2
+    R4 = _ROWS // 4
+    R8 = _ROWS // 8
+
+    def in2(r):
+        return pl.BlockSpec(
+            (None, r, 128), lambda c: (c, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    def in3(r, s):
+        return pl.BlockSpec(
+            (None, r, s, 128), lambda c: (c, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    if ft in (FloatType.FLOAT16, FloatType.BFLOAT16):
+        E = comp[0].shape[1]
+        ec, T = _pad_cells2(comp[0], B, R2)
+        rc, _ = _pad_cells2(raw[0], B, R2)
+        out = pl.pallas_call(
+            functools.partial(
+                _join16_kernel, rotate=ft == FloatType.BFLOAT16
+            ),
+            grid=(B * T,),
+            in_specs=[in2(R2), in2(R2)],
+            out_specs=in3(R2, 2),
+            out_shape=jax.ShapeDtypeStruct((B * T, R2, 2, 128), U32),
+        )(ec, rc)
+        return out.reshape(B, -1)[:, : 2 * E]
+    if ft == FloatType.FLOAT32:
+        E = comp[0].shape[1]
+        ec, T = _pad_cells2(comp[0], B, R4)
+        s1c, _ = _pad_cells2(raw[0], B, R2)
+        s2c, _ = _pad_cells2(raw[1], B, R4)
+        out = pl.pallas_call(
+            _join32_kernel,
+            grid=(B * T,),
+            in_specs=[in2(R4), in3(R4, 2), in2(R4)],
+            out_specs=in3(R4, 4),
+            out_shape=jax.ShapeDtypeStruct((B * T, R4, 4, 128), U32),
+        )(ec, s1c.reshape(-1, R4, 2, 128), s2c)
+        return out.reshape(B, -1)[:, : 4 * E]
+    if ft == FloatType.FLOAT64:
+        E = comp[0].shape[1]
+        e0c, T = _pad_cells2(comp[0], B, R8)
+        e1c, _ = _pad_cells2(comp[1], B, R8)
+        s1c, _ = _pad_cells2(raw[0], B, R2)
+        s2c, _ = _pad_cells2(raw[1], B, R4)
+        out = pl.pallas_call(
+            _join64_kernel,
+            grid=(B * T,),
+            in_specs=[in2(R8), in2(R8), in3(R8, 4), in3(R8, 2)],
+            out_specs=in3(R8, 8),
+            out_shape=jax.ShapeDtypeStruct((B * T, R8, 8, 128), U32),
+        )(e0c, e1c, s1c.reshape(-1, R8, 4, 128), s2c.reshape(-1, R8, 2, 128))
+        return out.reshape(B, -1)[:, : 8 * E]
+    raise ValueError(ft)

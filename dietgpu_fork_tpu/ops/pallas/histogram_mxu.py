@@ -32,6 +32,31 @@ BF16 = jnp.bfloat16
 _R = 1024  # rows per grid chunk (chunk = R*128 bytes = 128 KiB)
 
 
+def _hist_body(byte_of, groups: int, acc):
+    """Accumulate nibble-pair outer products; byte_of(g) yields the (R, 128)
+    int32 byte matrix of group g (8 bytes per row, replicated x16). Rolled
+    into a fori_loop — fully unrolling 64 MXU contractions overwhelms the
+    compiler."""
+    lane = jax.lax.broadcasted_iota(I32, (_R, 128), 1)
+    val = lane >> 3  # target nibble value per lane
+
+    def body(g, total):
+        b = byte_of(g, lane)
+        # select in f32 (same 32-bit tiling as the i1 mask), cast to bf16
+        a_hi = jnp.where((b >> 4) == val, 1.0, 0.0).astype(BF16)
+        a_lo = jnp.where((b & 0xF) == val, 1.0, 0.0).astype(BF16)
+        return total + jax.lax.dot_general(
+            a_hi, a_lo,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    total = jax.lax.fori_loop(
+        0, groups, body, jnp.zeros((128, 128), jnp.float32), unroll=False
+    )
+    acc[...] = acc[...] + total
+
+
 def _hist_kernel(x_ref, out_ref, acc, *, nch: int):
     ch = pl.program_id(1)
 
@@ -40,22 +65,34 @@ def _hist_kernel(x_ref, out_ref, acc, *, nch: int):
         acc[...] = jnp.zeros((128, 128), jnp.float32)
 
     x = x_ref[...].astype(I32)  # (R, 128); i32 lanes for the gather
-    lane = jax.lax.broadcasted_iota(I32, (_R, 128), 1)
-    val = lane >> 3  # target nibble value per lane
 
-    total = jnp.zeros((128, 128), jnp.float32)
-    for g in range(16):
+    def byte_of(g, lane):
         idx = g * 8 + (lane & 7)
-        b = jnp.take_along_axis(x, idx, axis=1)
-        # select in f32 (same 32-bit tiling as the i1 mask), cast to bf16
-        a_hi = jnp.where((b >> 4) == val, 1.0, 0.0).astype(BF16)
-        a_lo = jnp.where((b & 0xF) == val, 1.0, 0.0).astype(BF16)
-        total = total + jax.lax.dot_general(
-            a_hi, a_lo,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    acc[...] = acc[...] + total
+        return jnp.take_along_axis(x, idx, axis=1)
+
+    _hist_body(byte_of, 16, acc)
+
+    @pl.when(ch == nch - 1)
+    def _():
+        out_ref[...] = acc[...]
+
+
+def _hist_kernel_packed(x_ref, out_ref, acc, *, nch: int):
+    """Same, but input rows are 128 uint32 words = 512 bytes; 64 groups."""
+    ch = pl.program_id(1)
+
+    @pl.when(ch == 0)
+    def _():
+        acc[...] = jnp.zeros((128, 128), jnp.float32)
+
+    x = pltpu.bitcast(x_ref[...], I32)  # (R, 128) words
+
+    def byte_of(g, lane):
+        idx = g * 2 + ((lane & 7) >> 2)
+        w = jnp.take_along_axis(x, idx, axis=1)
+        return (w >> ((lane & 3) * 8)) & 0xFF
+
+    _hist_body(byte_of, 64, acc)
 
     @pl.when(ch == nch - 1)
     def _():
@@ -94,11 +131,50 @@ def histogram_mxu(data_u8: jax.Array, sizes: jax.Array) -> jax.Array:
         ),
     )(x)
 
+    return _extract(p, B, SP, sizes)
+
+
+def _extract(p, B, padded_bytes, sizes):
     # extract the 8 same-slot diagonals: hist[vh, vl] = sum_s P[8vh+s, 8vl+s]
     p4 = p.reshape(B, 16, 8, 16, 8)
     hist = jnp.einsum("bisjs->bij", p4).reshape(B, 256)
     hist = jnp.round(hist).astype(U32)
     # the zero-padding counted into bin 0
-    pad0 = (SP - sizes.astype(I32)).astype(U32)
+    pad0 = (padded_bytes - sizes.astype(I32)).astype(U32)
     hist = hist.at[:, 0].add(-pad0)
     return hist
+
+
+@jax.jit
+def histogram_mxu_packed(data32: jax.Array, sizes: jax.Array) -> jax.Array:
+    """data32: uint32[B, W] packed byte rows; sizes: int32[B] valid bytes.
+    Bytes beyond sizes[b] are masked to zero before counting."""
+    from ..checksum import mask_packed_bytes
+
+    B, W = data32.shape
+    chunk = _R * 128  # words per chunk (= 512 bytes per row)
+    WP = -(-W // chunk) * chunk
+    nch = WP // chunk
+    x = jnp.pad(mask_packed_bytes(data32, sizes), ((0, 0), (0, WP - W)))
+    x = x.reshape(B * nch, _R, 128)
+
+    p = pl.pallas_call(
+        functools.partial(_hist_kernel_packed, nch=nch),
+        grid=(B, nch),
+        in_specs=[
+            pl.BlockSpec(
+                (None, _R, 128), lambda b, c: (b * nch + c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, 128, 128), lambda b, c: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 128, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((128, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(x)
+    return _extract(p, B, 4 * WP, sizes)

@@ -110,11 +110,18 @@ def _encode_kernel(
     state_check_shift = ANS_STATE_BITS - prob_bits
     prob_mul = U32(1 << prob_bits)
 
+    # unpack the uint32-packed symbol block: target byte lane l of step u
+    # reads word lane u*32 + (l>>5)*8 + ((l&31)>>2), byte l&3
+    xw = pltpu.bitcast(sym_ref[...], I32)  # (G4, 128) packed words
+    src_lane = (lane >> 5) * 8 + ((lane & 31) >> 2)
+    byte_sh = (lane & 3) * 8
+
     words_out = []
     masks_out = []
     for u in range(_UNROLL):
         i = j * _UNROLL + u
-        sym = sym_ref[:, u * 128 : (u + 1) * 128].astype(I32)
+        w = jnp.take_along_axis(xw, u * 32 + src_lane, axis=1)
+        sym = (w >> byte_sh) & 0xFF
         v = (i * WARP_SIZE + gl) < valid_n
 
         t_lane = sym & 127
@@ -260,7 +267,7 @@ def _compact_kernel(
 
 @functools.partial(jax.jit, static_argnames=("prob_bits",))
 def encode_blocks_fused(
-    x_u8: jax.Array,
+    x32: jax.Array,
     sizes: jax.Array,
     packed_table: jax.Array,
     magic_table: jax.Array,
@@ -268,26 +275,27 @@ def encode_blocks_fused(
 ):
     """Pallas path of ops.rans_encode.encode_blocks (same contract).
 
-    x_u8: uint8[B, NB*4096] zero-padded; sizes int32[B];
-    packed_table/magic_table: uint32[B, 256].
+    x32: uint32[B, NB*1024] packed symbol bytes (zero-padded);
+    sizes int32[B] (bytes); packed_table/magic_table: uint32[B, 256].
 
     Returns (states uint32[B, NB, 32], streams32 uint32[B, NB, SOW+1],
     num_words int32[B, NB]).
     """
-    B, padded = x_u8.shape
-    NB = padded // BLOCK_SIZE
+    B, padded_w = x32.shape
+    WPB = BLOCK_SIZE // 4
+    NB = padded_w // WPB
     G = 256 if NB >= 256 else max(8, -(-NB // 8) * 8)
     G4 = G // 4
     NBP = -(-NB // G) * G
     CELLS = NBP // G
 
-    xp = jnp.pad(x_u8, ((0, 0), (0, (NBP - NB) * BLOCK_SIZE)))
-    # phase-A symbol layout: [cell, j, g4, u*128 + gb*32 + lb] =
-    # byte of block 4*g4+gb at position 32*(4j+u) + lb
+    xp = jnp.pad(x32, ((0, 0), (0, (NBP - NB) * WPB)))
+    # phase-A symbol layout: [cell, j, g4, u*32 + gb*8 + w] = packed word w
+    # (bytes 4w..4w+3) of block 4*g4+gb at positions 32*(4j+u) + 4w ..
     sym = (
-        xp.reshape(B * CELLS, G4, 4, _NJ, _UNROLL, 32)
+        xp.reshape(B * CELLS, G4, 4, _NJ, _UNROLL, 8)
         .transpose(0, 3, 1, 4, 2, 5)
-        .reshape(B * CELLS, _NJ, G4, _UNROLL * 128)
+        .reshape(B * CELLS, _NJ, G4, _UNROLL * 32)
     )
 
     blk = jnp.arange(NBP, dtype=I32)[None, :]
@@ -312,7 +320,7 @@ def encode_blocks_fused(
         grid=grid_a,
         in_specs=[
             pl.BlockSpec(
-                (None, None, G4, _UNROLL * 128),
+                (None, None, G4, _UNROLL * 32),
                 lambda b, t, j: (b * cells + t, j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),

@@ -45,7 +45,7 @@ MAX_BLOCK_WORDS32 = MAX_BLOCK_WORDS // 2  # 1280
 
 
 def encode_blocks(
-    x_u8: jax.Array,
+    x32: jax.Array,
     sizes: jax.Array,
     packed_table: jax.Array,
     magic_table: jax.Array,
@@ -53,8 +53,8 @@ def encode_blocks(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Encode all blocks of a padded batch.
 
-    x_u8: uint8[B, NB*4096] (zero-padded); sizes: int32[B];
-    packed_table/magic_table: uint32[B, 256] from ops.table.
+    x32: uint32[B, NB*1024] packed symbol bytes (zero-padded);
+    sizes: int32[B] byte counts; packed_table/magic_table: uint32[B, 256].
 
     Returns:
       states:    uint32[B, NB, 32]  final per-block interleaved states
@@ -66,9 +66,12 @@ def encode_blocks(
         from .pallas.rans_encode_fused import encode_blocks_fused
 
         return encode_blocks_fused(
-            x_u8, sizes, packed_table, magic_table, prob_bits
+            x32, sizes, packed_table, magic_table, prob_bits
         )
 
+    from .bitops import bitcast_u32_to_u8
+
+    x_u8 = bitcast_u32_to_u8(x32)
     B, padded = x_u8.shape
     NB = padded // BLOCK_SIZE
     sym = x_u8.astype(I32).reshape(B, NB, STEPS_PER_BLOCK, WARP_SIZE)

@@ -21,7 +21,9 @@ enc = jax.jit(
 )
 dec = jax.jit(
     F.float_decompress_core,
-    static_argnames=("out_floats", "float_type", "prob_bits"),
+    static_argnames=(
+        "out_floats", "float_type", "prob_bits", "verify_checksum"
+    ),
 )
 
 
@@ -55,6 +57,7 @@ def run(rng, ft, sizes, pb=10, cks=True):
         out_floats=S_cap,
         float_type=ft,
         prob_bits=pb,
+        verify_checksum=cks,
     )
     assert np.all(np.asarray(success))
     if cks:

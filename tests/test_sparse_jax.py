@@ -20,7 +20,9 @@ enc = jax.jit(
 )
 dec = jax.jit(
     SP.sparse_float_decompress_core,
-    static_argnames=("out_floats", "float_type", "prob_bits"),
+    static_argnames=(
+        "out_floats", "float_type", "prob_bits", "verify_checksum"
+    ),
 )
 
 
@@ -49,7 +51,7 @@ def test_sparse_byte_exact(rng, ft, sparsity):
 
     out32, success, nn, ca, cg = dec(
         jnp.array(np.asarray(comp32)), out_floats=S_cap, float_type=ft,
-        prob_bits=9,
+        prob_bits=9, verify_checksum=True,
     )
     assert np.all(np.asarray(success))
     assert np.array_equal(np.asarray(ca), np.asarray(cg))
