@@ -319,7 +319,7 @@ def ans_decode_core(
         streams32, comp_w, uncomp_w, states, lut, prob_bits
     )
     OW = -(-out_capacity // 4)
-    out32 = bitcast_u8_to_u32(out_blocks.reshape(B, NB * BLOCK_SIZE))[:, :OW]
+    out32 = out_blocks.reshape(B, NB * (BLOCK_SIZE // 4))[:, :OW]
     nbytes = jnp.where(success, n, 0)
     out32 = mask_packed_bytes(out32, nbytes)
     return out32, success, n.astype(U32), csum

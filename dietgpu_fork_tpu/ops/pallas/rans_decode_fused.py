@@ -43,7 +43,7 @@ from ...core.constants import (
 I32 = jnp.int32
 U32 = jnp.uint32
 
-_UNROLL = 4  # decode steps per grid invocation
+_UNROLL = 16  # decode steps per grid invocation (16 x 32 syms = 128 words)
 
 
 def _seg_suffix_sum32(x: jax.Array) -> jax.Array:
@@ -123,16 +123,30 @@ def _decode_kernel(
         sym = jnp.where(lane_valid, sym, U32(0))
         return states, ptr, sym
 
-    syms = []
+    lane32 = jax.lax.broadcasted_iota(I32, (G, WARP_SIZE), 1)
+    pack_idx = (lane32 * 4) & 31
+
+    def pack4(sym):
+        """(G, 32) byte values -> (G, 8) little-endian packed words
+        (four static gathers; rolls mis-lower on 32-lane-wide arrays)."""
+        b0 = jnp.take_along_axis(sym, pack_idx, axis=1)
+        b1 = jnp.take_along_axis(sym, pack_idx + 1, axis=1)
+        b2 = jnp.take_along_axis(sym, pack_idx + 2, axis=1)
+        b3 = jnp.take_along_axis(sym, pack_idx + 3, axis=1)
+        return (
+            b0 | (b1 << U32(8)) | (b2 << U32(16)) | (b3 << U32(24))
+        )[:, :8]
+
+    words = []
     for u in range(_UNROLL):
         states, ptr, sym = one_step(j * _UNROLL + u, states, ptr)
-        syms.append(sym)
+        words.append(pack4(sym))
 
     states_s[...] = states
     ptr_s[...] = ptr
-    # invocation j covers output groups 127-4j-3 .. 127-4j, i.e. chunk
-    # 31-j; within the chunk, the LAST local step produced the FIRST group
-    out_ref[...] = jnp.concatenate(syms[::-1], axis=1).astype(jnp.uint8)
+    # invocation j covers output groups 127-16j-15 .. 127-16j, i.e. chunk
+    # NJ-1-j; within the chunk, the LAST local step produced the FIRST group
+    out_ref[...] = jnp.concatenate(words[::-1], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("prob_bits",))
@@ -144,8 +158,9 @@ def decode_blocks_fused(
     lut: jax.Array,
     prob_bits: int,
 ) -> jax.Array:
-    """Pallas path of ops.rans_decode.decode_blocks (same contract:
-    returns uint8[B, NB, BLOCK_SIZE], zeros in invalid positions)."""
+    """Pallas path of ops.rans_decode.decode_blocks: returns uint32-packed
+    uint32[B, NB, BLOCK_SIZE/4] (little-endian; zeros in invalid
+    positions beyond each block's uncomp_words are masked by callers)."""
     B, NB, SW = streams32.shape
     LW = lut.shape[1]
     G = 256 if NB >= 256 else max(8, -(-NB // 8) * 8)
@@ -202,7 +217,7 @@ def decode_blocks_fused(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (B * CELLS, G, BLOCK_SIZE), jnp.uint8
+            (B * CELLS, G, BLOCK_SIZE // 4), U32
         ),
         scratch_shapes=[
             pltpu.VMEM((G, 32), U32),
@@ -212,4 +227,4 @@ def decode_blocks_fused(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
     )(streams, cw, uw, st, lut2)
-    return out.reshape(B, NBP, BLOCK_SIZE)[:, :NB]
+    return out.reshape(B, NBP, BLOCK_SIZE // 4)[:, :NB]

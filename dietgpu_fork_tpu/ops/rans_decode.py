@@ -54,7 +54,7 @@ def decode_blocks(
     states:      uint32[B, NB, 32] initial interleaved states
     lut:         uint32[B, 2^prob_bits] decode lookup table
 
-    Returns out: uint8[B, NB, 4096] decoded bytes (zero where invalid).
+    Returns out: uint32[B, NB, 1024] packed decoded bytes (little-endian).
     """
     if jax.default_backend() == "tpu":
         from .pallas.rans_decode_fused import decode_blocks_fused
@@ -127,4 +127,8 @@ def decode_blocks(
     )(flat, jnp.clip(shift, 0, BLOCK_SIZE))
     out = out.reshape(B, NB, BLOCK_SIZE)
     p = jnp.arange(BLOCK_SIZE, dtype=I32)
-    return jnp.where(p[None, None, :] < uw[:, :, None], out, jnp.uint8(0))
+    out = jnp.where(p[None, None, :] < uw[:, :, None], out, jnp.uint8(0))
+
+    from .bitops import bitcast_u8_to_u32
+
+    return bitcast_u8_to_u32(out)
