@@ -34,7 +34,7 @@ from ..core.constants import (
 )
 from ..ops.bitops import bitcast_u32_to_u8, u32
 from ..ops.checksum import checksum_packed, mask_packed_bytes
-from ..ops.float_split import join_packed, split_packed
+from ..ops.float_split import join_packed, split_hist_packed
 from .ans import ans_decode_core, ans_encode_core
 
 I32 = jnp.int32
@@ -102,21 +102,18 @@ def float_compress_core(
         else jnp.zeros((B,), U32)
     )
 
-    comp_planes, noncomp = split_packed(data32, ft)
-    # materialize the split planes: letting XLA fuse the strided-slice
-    # deinterleave into the Pallas operands' relayout produces a serial
-    # gather (measured 10x slowdown on v5e)
-    comp_planes = [jax.lax.optimization_barrier(p) for p in comp_planes]
-    noncomp = [jax.lax.optimization_barrier(s) for s in noncomp]
+    comp_planes, noncomp, hists = split_hist_packed(data32, n, ft)
 
     # ANS-encode each exponent plane (independent archives; fp64 has two —
     # RUN_ANS, GpuFloatCompress.cuh:807-869). One exponent byte per float
-    # per plane, so the plane byte capacity is S_cap.
+    # per plane, so the plane byte capacity is S_cap; the histograms were
+    # accumulated during the split.
     segs = []
     seg_bytes = []
-    for plane in comp_planes:
+    for plane, hist in zip(comp_planes, hists):
         a32, ab = ans_encode_core(
-            plane, n, prob_bits, use_checksum=False, s_bytes=S_cap
+            plane, n, prob_bits, use_checksum=False, s_bytes=S_cap,
+            hist=hist,
         )
         segs.append(a32)
         seg_bytes.append(ab.astype(I32))

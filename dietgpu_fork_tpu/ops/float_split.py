@@ -116,6 +116,23 @@ def _b(x, k):
     return (x >> u32(8 * k)) & _B0
 
 
+def split_hist_packed(data32: jax.Array, n_floats: jax.Array,
+                      float_type: FloatType):
+    """split_packed plus per-exponent-plane byte histograms (fused into the
+    split pass on TPU, like the reference's splitFloat+histogram;
+    GpuFloatCompress.cuh:423-551). Returns (comp_planes, raw_sections,
+    hists) with hists uint32[B, 256] over the first n_floats bytes."""
+    if jax.default_backend() == "tpu":
+        from .pallas.float_split_fused import split_hist_packed_tpu
+
+        return split_hist_packed_tpu(data32, n_floats, FloatType(float_type))
+    from .histogram import histogram_packed
+
+    comp, raw = split_packed(data32, float_type)
+    hists = [histogram_packed(p, n_floats) for p in comp]
+    return comp, raw, hists
+
+
 def join_packed(
     comp: List[jax.Array], raw: List[jax.Array], float_type: FloatType
 ) -> jax.Array:

@@ -38,6 +38,43 @@ def _lane(shape):
     return jax.lax.broadcasted_iota(I32, shape, len(shape) - 1)
 
 
+def _hist_accum(plane, acc, first, base_byte, nbytes):
+    """Accumulate the 16x16 nibble-pair histogram of a packed uint32 plane
+    value (R, 128) into a (128, 128) f32 scratch (same construction as
+    ops.pallas.histogram_mxu; the split's exponent read is free here, which
+    is exactly the reference's fused splitFloat+histogram,
+    GpuFloatCompress.cuh:423-551). Bytes at global positions >= nbytes are
+    redirected to bin 0 and subtracted by the host wrapper."""
+    R = plane.shape[0]
+    lane = _lane((R, 128))
+    row = jax.lax.broadcasted_iota(I32, (R, 128), 0)
+    val = lane >> 3
+
+    @pl.when(first)
+    def _():
+        acc[...] = jnp.zeros((128, 128), jnp.float32)
+
+    def body(g, total):
+        idx = g * 2 + ((lane & 7) >> 2)
+        w = jnp.take_along_axis(plane, idx, axis=1)
+        b = ((w >> ((lane & 3) * 8)) & 0xFF).astype(I32)
+        # global byte position of this lane's byte within the plane
+        pos = base_byte + (row * 128 + idx) * 4 + (lane & 3)
+        b = jnp.where(pos < nbytes, b, 0)
+        a_hi = jnp.where((b >> 4) == val, 1.0, 0.0).astype(jnp.bfloat16)
+        a_lo = jnp.where((b & 0xF) == val, 1.0, 0.0).astype(jnp.bfloat16)
+        return total + jax.lax.dot_general(
+            a_hi, a_lo,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    total = jax.lax.fori_loop(
+        0, 64, body, jnp.zeros((128, 128), jnp.float32), unroll=False
+    )
+    acc[...] = acc[...] + total
+
+
 def _gsel(slabs, flat_lane_idx, sel):
     """value[r, l] = slabs[sel[r,l]][r, flat_lane_idx[r,l] & 127]."""
     idx = flat_lane_idx & 127
@@ -105,6 +142,46 @@ def _split16_kernel(x_ref, exp_ref, raw_ref, *, rotate: bool):
         we & _B0, (we >> U32(16)) & _B0,
         wo & _B0, (wo >> U32(16)) & _B0,
     )
+
+
+def _finish_hist(plane_ref, n_ref, hist_ref, acc):
+    """Per-cell histogram accumulation for one exponent plane output."""
+    t = pl.program_id(1)
+    R = plane_ref.shape[0]
+    _hist_accum(
+        plane_ref[...], acc, t == 0, t * R * 512, n_ref[pl.program_id(0)]
+    )
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        hist_ref[...] = acc[...]
+
+
+def _split16_hist_kernel(n_ref, x_ref, exp_ref, raw_ref, hist_ref, acc,
+                         *, rotate: bool):
+    _split16_kernel(x_ref, exp_ref, raw_ref, rotate=rotate)
+    _finish_hist(exp_ref, n_ref, hist_ref, acc)
+
+
+def _split32_hist_kernel(n_ref, x_ref, exp_ref, sec1_ref, sec2_ref,
+                         hist_ref, acc):
+    _split32_kernel(x_ref, exp_ref, sec1_ref, sec2_ref)
+    _finish_hist(exp_ref, n_ref, hist_ref, acc)
+
+
+def _split64_hist_kernel(n_ref, x_ref, exp0_ref, exp1_ref, sec1_ref,
+                         sec2_ref, hist0_ref, hist1_ref, acc0, acc1):
+    _split64_kernel(x_ref, exp0_ref, exp1_ref, sec1_ref, sec2_ref)
+    t = pl.program_id(1)
+    R = exp0_ref.shape[0]
+    n = n_ref[pl.program_id(0)]
+    _hist_accum(exp0_ref[...], acc0, t == 0, t * R * 512, n)
+    _hist_accum(exp1_ref[...], acc1, t == 0, t * R * 512, n)
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        hist0_ref[...] = acc0[...]
+        hist1_ref[...] = acc1[...]
 
 
 def _split32_kernel(x_ref, exp_ref, sec1_ref, sec2_ref):
@@ -319,6 +396,132 @@ def split_packed_tpu(data32, float_type: FloatType):
              exp1.reshape(B, -1)[:, : W // 8]],
             [sec1.reshape(B, -1)[:, : W // 2],
              sec2.reshape(B, -1)[:, : W // 4]],
+        )
+    raise ValueError(ft)
+
+
+@functools.partial(jax.jit, static_argnames=("float_type",))
+def split_hist_packed_tpu(data32, n_floats, float_type: FloatType):
+    """Fused split + per-plane exponent histograms (the reference's
+    splitFloat+histogram fusion). Returns (comp_planes, raw_sections,
+    hists) with hists uint32[B, 256] masked to n_floats bytes per plane."""
+    from .histogram_mxu import _extract
+
+    ft = FloatType(float_type)
+    x, B, T, Wp = _cells(data32, _ROWS)
+    C = B * T
+    R2 = _ROWS // 2
+    R4 = _ROWS // 4
+    R8 = _ROWS // 8
+    n32 = n_floats.astype(I32)
+
+    def out2(r):
+        return pl.BlockSpec(
+            (None, r, 128), lambda b, t, n_: (b * T + t, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def out3(r, s):
+        return pl.BlockSpec(
+            (None, r, s, 128), lambda b, t, n_: (b * T + t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    hist_spec = pl.BlockSpec(
+        (None, 128, 128), lambda b, t, n_: (b, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    hist_shape = jax.ShapeDtypeStruct((B, 128, 128), jnp.float32)
+    spec_in = pl.BlockSpec(
+        (None, R2, 2, 128), lambda b, t, n_: (b * T + t, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    W = data32.shape[1]
+
+    if ft in (FloatType.FLOAT16, FloatType.BFLOAT16):
+        plane_bytes = T * R2 * 512
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B, T),
+            in_specs=[spec_in],
+            out_specs=[out2(R2), out2(R2), hist_spec],
+            scratch_shapes=[pltpu.VMEM((128, 128), jnp.float32)],
+        )
+        exp, raw, p = pl.pallas_call(
+            functools.partial(
+                _split16_hist_kernel, rotate=ft == FloatType.BFLOAT16
+            ),
+            grid_spec=gs,
+            out_shape=[
+                jax.ShapeDtypeStruct((C, R2, 128), U32),
+                jax.ShapeDtypeStruct((C, R2, 128), U32),
+                hist_shape,
+            ],
+        )(n32, x)
+        hist = _extract(p, B, plane_bytes, n32)
+        W2 = W // 2
+        return (
+            [exp.reshape(B, -1)[:, :W2]],
+            [raw.reshape(B, -1)[:, :W2]],
+            [hist],
+        )
+    if ft == FloatType.FLOAT32:
+        plane_bytes = T * R4 * 512
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B, T),
+            in_specs=[out3(R4, 4)],
+            out_specs=[out2(R4), out3(R4, 2), out2(R4), hist_spec],
+            scratch_shapes=[pltpu.VMEM((128, 128), jnp.float32)],
+        )
+        exp, sec1, sec2, p = pl.pallas_call(
+            _split32_hist_kernel,
+            grid_spec=gs,
+            out_shape=[
+                jax.ShapeDtypeStruct((C, R4, 128), U32),
+                jax.ShapeDtypeStruct((C, R4, 2, 128), U32),
+                jax.ShapeDtypeStruct((C, R4, 128), U32),
+                hist_shape,
+            ],
+        )(n32, x.reshape(C, R4, 4, 128))
+        hist = _extract(p, B, plane_bytes, n32)
+        return (
+            [exp.reshape(B, -1)[:, : W // 4]],
+            [sec1.reshape(B, -1)[:, : W // 2],
+             sec2.reshape(B, -1)[:, : W // 4]],
+            [hist],
+        )
+    if ft == FloatType.FLOAT64:
+        plane_bytes = T * R8 * 512
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B, T),
+            in_specs=[spec_in],
+            out_specs=[
+                out2(R8), out2(R8), out2(R2), out2(R4),
+                hist_spec, hist_spec,
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((128, 128), jnp.float32),
+                pltpu.VMEM((128, 128), jnp.float32),
+            ],
+        )
+        exp0, exp1, sec1, sec2, p0, p1 = pl.pallas_call(
+            _split64_hist_kernel,
+            grid_spec=gs,
+            out_shape=[
+                jax.ShapeDtypeStruct((C, R8, 128), U32),
+                jax.ShapeDtypeStruct((C, R8, 128), U32),
+                jax.ShapeDtypeStruct((C, R2, 128), U32),
+                jax.ShapeDtypeStruct((C, R4, 128), U32),
+                hist_shape, hist_shape,
+            ],
+        )(n32, x)
+        h0 = _extract(p0, B, plane_bytes, n32)
+        h1 = _extract(p1, B, plane_bytes, n32)
+        return (
+            [exp0.reshape(B, -1)[:, : W // 8],
+             exp1.reshape(B, -1)[:, : W // 8]],
+            [sec1.reshape(B, -1)[:, : W // 2],
+             sec2.reshape(B, -1)[:, : W // 4]],
+            [h0, h1],
         )
     raise ValueError(ft)
 
