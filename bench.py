@@ -1,6 +1,6 @@
 """Headline benchmark: bf16 float codec round trip on one TPU chip.
 
-Protocol mirrors the reference's benchmark.py (N(0,1) data, warmup + 3 timed
+Protocol mirrors the reference's benchmark.py (N(0,1) data, warmup + timed
 runs) on its non-batched configuration. Prints exactly ONE JSON line on
 stdout:
 
@@ -10,10 +10,13 @@ stdout:
 Baseline: the reference reports ~250-600 GB/s for the float codec on an
 A100 (README.md:36); vs_baseline is measured against the 250 GB/s low end.
 
-Timing note: on tunneled TPU runtimes block_until_ready can return before
-execution finishes, so every measurement is fenced by a small
-device-to-host copy, and per-iteration time is (K iters + fence) minus
-(1 iter + fence) over K-1.
+Timing notes for the tunneled TPU runtime: (a) block_until_ready can
+return before execution finishes, so measurements are fenced with a
+device-to-host copy; (b) per-call dispatch overhead is large and noisy, so
+each measurement chains ITERS dependent codec invocations inside ONE jit
+(iteration i's input is perturbed by iteration i-1's output, preventing
+CSE) and the per-iteration time is (chain - single) / (ITERS - 1), taking
+the best of several repeats.
 """
 
 import json
@@ -32,7 +35,8 @@ from dietgpu_fork_tpu.models.float_codec import (
 )
 
 N_FLOATS = 1 << 24  # 16Mi bf16 floats = 32 MiB
-ITERS = 4
+ITERS = 8
+REPEATS = 4
 
 
 def fence(x):
@@ -40,19 +44,21 @@ def fence(x):
     return np.asarray(leaf.ravel()[:1])
 
 
-def timed(f, *args):
-    r = f(*args)
-    fence(r)  # warmup/compile
-    t0 = time.time()
-    fence(f(*args))
-    t_one = time.time() - t0
-    t0 = time.time()
-    r = None
-    for _ in range(ITERS):
-        r = f(*args)
-    fence(r)
-    t_many = time.time() - t0
-    return max((t_many - t_one) / (ITERS - 1), 1e-9)
+def chain_time(f1, fk):
+    """Per-iteration time of the chained jits f1 (1 iter) and fk: take the
+    min of each independently (dispatch noise is one-sided), THEN subtract —
+    min of the differences is biased toward zero."""
+    fence(f1())
+    fence(fk())
+    t1s, tks = [], []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        fence(f1())
+        t1s.append(time.time() - t0)
+        t0 = time.time()
+        fence(fk())
+        tks.append(time.time() - t0)
+    return max((min(tks) - min(t1s)) / (ITERS - 1), 1e-9)
 
 
 def main():
@@ -64,40 +70,49 @@ def main():
     sizes = jnp.array([N_FLOATS], jnp.int32)
     raw_gb = 2 * N_FLOATS / 1e9
 
-    enc = jax.jit(
-        float_compress_core,
-        static_argnames=("float_type", "prob_bits", "use_checksum"),
-    )
-    dec = jax.jit(
-        float_decompress_core,
-        static_argnames=("out_floats", "float_type", "prob_bits"),
-    )
+    def enc(d):
+        return float_compress_core(
+            d, sizes, FloatType.BFLOAT16, prob_bits=10
+        )
 
-    t_enc = timed(
-        lambda d, s: enc(d, s, float_type=FloatType.BFLOAT16, prob_bits=10),
-        data32,
-        sizes,
-    )
-    comp32, comp_bytes = enc(
-        data32, sizes, float_type=FloatType.BFLOAT16, prob_bits=10
-    )
+    def dec(c):
+        return float_decompress_core(
+            c, jnp.zeros((1,), jnp.int32), N_FLOATS, FloatType.BFLOAT16,
+            prob_bits=10,
+        )
+
+    def enc_chain(k):
+        @jax.jit
+        def f(d):
+            out = None
+            for i in range(k):
+                out = enc(d)
+                d = d.at[:, :1].set(d[:, :1] ^ out[0][:, :1] ^ jnp.uint32(i))
+            return out
+        return lambda: f(data32)
+
+    comp32, comp_bytes = jax.jit(enc)(data32)
+    comp32 = jnp.array(np.asarray(comp32))
+
+    def dec_chain(k):
+        @jax.jit
+        def f(c):
+            out = None
+            for i in range(k):
+                out = dec(c)
+                # poke the (zero-padded) row tail, past the archive end:
+                # serializes iterations without touching archive bytes
+                c = c.at[:, -1:].set(out[0][:, :1] + jnp.uint32(i))
+            return out
+        return lambda: f(comp32)
+
+    t_enc = chain_time(enc_chain(1), enc_chain(ITERS))
+    t_dec = chain_time(dec_chain(1), dec_chain(ITERS))
+
     ratio = int(np.asarray(comp_bytes)[0]) / (2 * N_FLOATS)
 
-    zeros = jnp.zeros((1,), jnp.int32)
-    t_dec = timed(
-        lambda c, z: dec(
-            c, z, out_floats=N_FLOATS, float_type=FloatType.BFLOAT16,
-            prob_bits=10,
-        ),
-        comp32,
-        zeros,
-    )
-
     # round-trip correctness gate: a fast wrong codec scores zero
-    out = dec(
-        comp32, zeros, out_floats=N_FLOATS, float_type=FloatType.BFLOAT16,
-        prob_bits=10,
-    )
+    out = jax.jit(dec)(comp32)
     ok = np.array_equal(
         np.asarray(out[0]).view(np.uint8)[0, : 2 * N_FLOATS], w.view(np.uint8)
     ) and bool(np.asarray(out[1])[0])
