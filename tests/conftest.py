@@ -7,17 +7,22 @@ import os
 
 # The environment may pin JAX_PLATFORMS to a TPU plugin (e.g. axon); tests
 # must run on the host CPU with 8 virtual devices, so force both the env var
-# and the config (a sitecustomize can re-assert the env var).
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# and the config (a sitecustomize can re-assert the env var). Set
+# DIETTPU_TEST_TPU=1 to run on the real chip instead (enables
+# tests/test_tpu_kernels.py, shrinks the virtual mesh tests to 1 device).
+_ON_TPU = os.environ.get("DIETTPU_TEST_TPU") == "1"
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
