@@ -231,7 +231,24 @@ def sparse_float_decompress_core(
     )
     success = success & dsuccess
 
-    # rank gather: out[i] = bitmap[i] ? nonzeros[rank(i)] : 0
+    # expansion: out[i] = bitmap[i] ? nonzeros[rank(i)] : 0. On TPU the
+    # word-granular types use the Pallas window-gather kernel; 16-bit types
+    # and CPU use the rank-gather formulation.
+    if jax.default_backend() == "tpu" and ft in (
+        FloatType.FLOAT32, FloatType.FLOAT64,
+    ):
+        from ..ops.checksum import mask_packed_bytes
+        from ..ops.pallas.sparse_stream import bitrev8_words, expand_by_bitmap
+
+        ws_ = FLOAT_WORD_SIZE[ft]
+        pair = 1 if ft == FloatType.FLOAT32 else 2
+        bm_lsb = bitrev8_words(bm32)
+        words32 = expand_by_bitmap(nz32, bm_lsb, out_floats, pair=pair)[
+            :, : pair * out_floats
+        ]
+        words32 = mask_packed_bytes(words32, n * ws_)
+        return words32, success, n.astype(U32), csum_arch, csum_got
+
     rank = jnp.cumsum(bitmap.astype(I32), axis=1) - 1
     rank = jnp.clip(rank, 0, out_floats - 1)
     if ft in (FloatType.FLOAT16, FloatType.BFLOAT16):

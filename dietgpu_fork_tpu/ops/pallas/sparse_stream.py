@@ -1,0 +1,234 @@
+"""Pallas sparse stream expansion by nonzero bitmap.
+
+The reference scatters through per-thread addresses after a device-wide
+exclusive scan (fill_in_nonzeros, GpuSparseFloatDecompress.cuh:69-145).
+TPU has neither scatter nor fast data-dependent gather in XLA, so:
+
+* the bit-level scan is factored: per-bitmap-word popcounts + exclusive
+  cumsum happen in plain XLA on the (tiny, n/32) word array; the in-word
+  prefix is SWAR popcount math in the kernel;
+* each 8192-float cell gathers its values from a VMEM window of the
+  compact stream — bounded because ranks are monotone — and only the
+  chunks the cell's population actually reaches are DMA'd and scanned
+  (scalar-prefetched per-cell base/count).
+
+Word-granular: fp32 uses pair=1 (1 word/float), fp64 pair=2 (lo+hi).
+16-bit types keep the portable XLA path.
+
+Bit order here is PLAIN lsb-first within each uint32; the archive's
+MSB-first-per-byte bitmap is converted by `bitrev8_words`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+_CW = 8192  # floats per grid cell
+_CBW = _CW // 32  # bitmap words per cell (256)
+_R = _CW // 128  # float rows per cell (64)
+_WINC = (2 * _CW + 1024 + 1024) // 1024  # window 1Ki-word chunks (pair<=2)
+_WIN = _WINC * 1024
+
+
+def popcount32(x):
+    x = x - ((x >> U32(1)) & U32(0x55555555))
+    x = (x & U32(0x33333333)) + ((x >> U32(2)) & U32(0x33333333))
+    x = (x + (x >> U32(4))) & U32(0x0F0F0F0F)
+    return ((x * U32(0x01010101)) >> U32(24)).astype(I32)
+
+
+def bitrev8_words(w):
+    """Reverse the bit order within every byte of uint32 lanes (archive
+    bitmaps are MSB-first per byte, GpuSparseFloatCompress.cuh:64-113)."""
+    w = w.astype(U32)
+    w = ((w >> U32(4)) & U32(0x0F0F0F0F)) | ((w & U32(0x0F0F0F0F)) << U32(4))
+    w = ((w >> U32(2)) & U32(0x33333333)) | ((w & U32(0x33333333)) << U32(2))
+    w = ((w >> U32(1)) & U32(0x55555555)) | ((w & U32(0x55555555)) << U32(1))
+    return w
+
+
+def _expand_kernel(
+    base_ref, nchd_ref, nz_ref, bm_ref, wr_ref, out_ref,
+    win, sem, *, pair: int, NZR: int,
+):
+    cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    base = base_ref[cell]
+    w0 = (base * pair) // 1024 * 1024
+    off = base * pair - w0
+    nchd = nchd_ref[cell]  # 1024-word DMA chunks to fetch
+    rowbase = pl.program_id(0) * NZR + w0 // 128
+
+    def fetch(c, _):
+        pltpu.make_async_copy(
+            nz_ref.at[pl.ds(rowbase + c * 8, 8), :],
+            win.at[pl.ds(c * 8, 8), :],
+            sem,
+        ).start()
+        return 0
+
+    jax.lax.fori_loop(0, nchd, fetch, 0, unroll=False)
+
+    # per-float bit + in-cell exclusive rank while the DMAs fly
+    l = jax.lax.broadcasted_iota(I32, (_R, 128), 1)
+    row = jax.lax.broadcasted_iota(I32, (_R, 128), 0)
+    widx = row * 4 + (l >> 5)  # in [0, 256)
+    bm = bm_ref[...]  # (2, 128)
+    wr = wr_ref[...]
+
+    def g2(tab, idx):
+        g0 = jnp.take_along_axis(
+            jnp.broadcast_to(tab[0][None, :], (_R, 128)), idx & 127, axis=1
+        )
+        g1 = jnp.take_along_axis(
+            jnp.broadcast_to(tab[1][None, :], (_R, 128)), idx & 127, axis=1
+        )
+        return jnp.where(idx < 128, g0, g1)
+
+    w = g2(bm, widx)
+    wr_f = g2(wr, widx).astype(I32)
+    bitpos = (l & 31).astype(U32)
+    is_set = ((w >> bitpos) & U32(1)) == 1
+    below = popcount32(w & ((U32(1) << bitpos) - U32(1)))
+    excl = wr_f - base + below
+
+    def wait(c, _):
+        pltpu.make_async_copy(
+            nz_ref.at[pl.ds(rowbase, 8), :], win.at[pl.ds(0, 8), :], sem
+        ).wait()
+        return 0
+
+    jax.lax.fori_loop(0, nchd, wait, 0, unroll=False)
+
+    gidx = excl * pair + off
+
+    def gather_win(idx):
+        lane_i = idx & 127
+        chunk_i = idx >> 7
+
+        def body(c, acc):
+            g = jnp.take_along_axis(
+                jnp.broadcast_to(win[c][None, :], (_R, 128)), lane_i, axis=1
+            )
+            return jnp.where(chunk_i == c, g, acc)
+
+        return jax.lax.fori_loop(
+            0, nchd * 8, body, jnp.zeros((_R, 128), U32), unroll=False
+        )
+
+    if pair == 1:
+        val = gather_win(gidx)
+        out_ref[...] = jnp.where(is_set, val, U32(0))
+    else:
+        lo = jnp.where(is_set, gather_win(gidx), U32(0))
+        hi = jnp.where(is_set, gather_win(gidx + 1), U32(0))
+        m = l >> 1
+        for t in range(2):
+            idx = 64 * t + m
+            ol = jnp.take_along_axis(lo, idx, axis=1)
+            oh = jnp.take_along_axis(hi, idx, axis=1)
+            out_ref[:, t, :] = jnp.where((l & 1) == 1, oh, ol)
+
+
+@functools.partial(jax.jit, static_argnames=("n_floats", "pair"))
+def expand_by_bitmap(
+    nz32: jax.Array,
+    bitmap32: jax.Array,
+    n_floats: int,
+    pair: int = 1,
+):
+    """out[f] = (bit f of bitmap) ? nz[pair*rank(f) ...] : 0.
+
+    nz32: uint32[B, NW] compact stream; bitmap32: uint32[B, >=ceil(n/32)]
+    lsb-first bit order (see bitrev8_words). Returns
+    uint32[B, pair * ceil_to_cell(n_floats)]; content beyond n_floats is
+    whatever the (zero-padded) bitmap produces — zeros.
+    """
+    B, NW = nz32.shape
+    NF = -(-n_floats // _CW) * _CW
+    T = NF // _CW
+    NBW = NF // 32
+
+    bm = jnp.pad(
+        bitmap32[:, : min(bitmap32.shape[1], NBW)],
+        ((0, 0), (0, max(NBW - bitmap32.shape[1], 0))),
+    )
+    # mask bits beyond n_floats (callers may pass capacity-width bitmaps)
+    if n_floats < NF:
+        wpos = jnp.arange(NBW, dtype=I32)[None, :]
+        rem = jnp.clip(n_floats - wpos * 32, 0, 32).astype(U32)
+        wmask = jnp.where(
+            rem >= 32, U32(0xFFFFFFFF), (U32(1) << rem) - U32(1)
+        )
+        bm = bm & wmask
+
+    pc = popcount32(bm)
+    incl = jnp.cumsum(pc, axis=1)
+    wr = (incl - pc).astype(I32)  # exclusive per-word rank
+
+    base = wr.reshape(B, T, _CBW)[:, :, 0].reshape(-1)
+    endr = jnp.concatenate(
+        [wr.reshape(B, T, _CBW)[:, 1:, 0], incl[:, -1:, None][:, :, 0]],
+        axis=1,
+    ).reshape(-1)
+    cnt = endr - base
+    nchd = jnp.clip(
+        ((base * pair) % 1024 + (cnt + 1) * pair + 1023) // 1024, 1, _WINC
+    ).astype(I32)
+
+    pad = (-NW) % 1024 + _WIN + 1024
+    nz2 = jnp.pad(nz32, ((0, 0), (0, pad))).reshape(B, -1, 128)
+    NZR = nz2.shape[1]
+    nz2 = nz2.reshape(B * NZR, 128)
+
+    bm_in = bm.reshape(B * T, 2, 128)
+    wr_in = wr.reshape(B * T, 2, 128)
+
+    if pair == 1:
+        out_block = pl.BlockSpec(
+            (None, _R, 128), lambda b, t, s1, s2: (b * T + t, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((B * T, _R, 128), U32)
+    else:
+        out_block = pl.BlockSpec(
+            (None, _R, 2, 128), lambda b, t, s1, s2: (b * T + t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((B * T, _R, 2, 128), U32)
+
+    out = pl.pallas_call(
+        functools.partial(_expand_kernel, pair=pair, NZR=NZR),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, T),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(
+                    (None, 2, 128), lambda b, t, s1, s2: (b * T + t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (None, 2, 128), lambda b, t, s1, s2: (b * T + t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=out_block,
+            scratch_shapes=[
+                pltpu.VMEM((_WIN // 128, 128), U32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(base.astype(I32), nchd, nz2, bm_in, wr_in)
+    return out.reshape(B, T * pair * _CW)
