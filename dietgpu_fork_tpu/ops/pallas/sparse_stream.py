@@ -137,6 +137,172 @@ def _expand_kernel(
             out_ref[:, t, :] = jnp.where((l & 1) == 1, oh, ol)
 
 
+def _compact_kernel(x_ref, bm_ref, wr_ref, out_ref, *, pair: int):
+    """Local rank-select compaction of one 8192-float cell into dense
+    staging (slot j = j-th set bit's value); a runs-merge glues cells."""
+    bm = bm_ref[...]  # (2, 128) lsb-first bitmap words
+    wr = wr_ref[...]  # (2, 128) IN-CELL exclusive word ranks
+    l = jax.lax.broadcasted_iota(I32, (_R, 128), 1)
+
+    # binary search: word w* = last of 256 with wr[w] <= slot j
+    j = jax.lax.broadcasted_iota(I32, (_R, 128), 0) * 128 + l
+
+    def g2(tab, idx):
+        g0 = jnp.take_along_axis(
+            jnp.broadcast_to(tab[0][None, :], (_R, 128)), idx & 127, axis=1
+        )
+        g1 = jnp.take_along_axis(
+            jnp.broadcast_to(tab[1][None, :], (_R, 128)), idx & 127, axis=1
+        )
+        return jnp.where(idx < 128, g0, g1)
+
+    lo = jnp.zeros((_R, 128), I32)
+    for w in (128, 64, 32, 16, 8, 4, 2, 1):
+        mid = jnp.minimum(lo + w, 255)
+        probe = g2(wr, mid).astype(I32)
+        lo = jnp.where(probe <= j, mid, lo)
+    w_star = lo
+    r_in = j - g2(wr, w_star).astype(I32)
+    m = g2(bm, w_star)
+
+    # bit index of the r_in-th set bit of m (popcount descent)
+    pos = jnp.zeros((_R, 128), I32)
+    rem = r_in
+    for w in (16, 8, 4, 2, 1):
+        low = (m >> pos.astype(U32)) & ((U32(1) << U32(w)) - U32(1))
+        c = popcount32(low)
+        go = rem >= c
+        pos = jnp.where(go, pos + w, pos)
+        rem = jnp.where(go, rem - c, rem)
+    f = w_star * 32 + pos  # source float index within the cell
+
+    def gather_cell(idx):
+        lane_i = idx & 127
+        chunk_i = idx >> 7
+
+        def body(c, acc):
+            g = jnp.take_along_axis(
+                jnp.broadcast_to(x_ref[c][None, :], (_R, 128)),
+                lane_i, axis=1,
+            )
+            return jnp.where(chunk_i == c, g, acc)
+
+        return jax.lax.fori_loop(
+            0, pair * _R, body, jnp.zeros((_R, 128), U32), unroll=False
+        )
+
+    if pair == 1:
+        out_ref[...] = gather_cell(f)
+    else:
+        lo_w = gather_cell(2 * f)
+        hi_w = gather_cell(2 * f + 1)
+        mm = l >> 1
+        for t in range(2):
+            idx = 64 * t + mm
+            ol = jnp.take_along_axis(lo_w, idx, axis=1)
+            oh = jnp.take_along_axis(hi_w, idx, axis=1)
+            out_ref[:, t, :] = jnp.where((l & 1) == 1, oh, ol)
+
+
+@functools.partial(jax.jit, static_argnames=("n_floats", "pair"))
+def compact_by_bitmap(
+    data32: jax.Array,
+    bitmap32: jax.Array,
+    n_floats: int,
+    pair: int = 1,
+):
+    """Gather the words of bitmap-set floats to the front, order preserved
+    (the reference's fill_comp_input scatter). data32: uint32[B, NW] with
+    pair words per float; bitmap32 lsb-first. Returns (compact uint32[B,
+    pair*ceil_to_cell(n)], nnz int32[B])."""
+    from .merge import runs_merge
+
+    B = data32.shape[0]
+    NF = -(-n_floats // _CW) * _CW
+    T = NF // _CW
+    NBW = NF // 32
+
+    bm = jnp.pad(
+        bitmap32[:, : min(bitmap32.shape[1], NBW)],
+        ((0, 0), (0, max(NBW - bitmap32.shape[1], 0))),
+    )
+    if n_floats < NF:
+        wpos = jnp.arange(NBW, dtype=I32)[None, :]
+        rem = jnp.clip(n_floats - wpos * 32, 0, 32).astype(U32)
+        bm = bm & jnp.where(
+            rem >= 32, U32(0xFFFFFFFF), (U32(1) << rem) - U32(1)
+        )
+
+    pc = popcount32(bm)
+    incl = jnp.cumsum(pc, axis=1)
+    wr = (incl - pc).astype(I32)
+    nnz = incl[:, -1].astype(I32)
+
+    base = wr.reshape(B, T, _CBW)[:, :, 0]  # (B, T) global cell bases
+    lwr = (wr.reshape(B, T, _CBW) - base[:, :, None]).reshape(B * T, 2, 128)
+    bm_in = bm.reshape(B * T, 2, 128)
+
+    xw = jnp.pad(
+        data32, ((0, 0), (0, pair * NF - data32.shape[1]))
+    ) if data32.shape[1] < pair * NF else data32[:, : pair * NF]
+    x_in = xw.reshape(B * T, pair * _R, 128)
+    x_spec = pl.BlockSpec(
+        (None, pair * _R, 128), lambda b, t: (b * T + t, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    if pair == 1:
+        out_block = pl.BlockSpec(
+            (None, _R, 128), lambda b, t: (b * T + t, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((B * T, _R, 128), U32)
+    else:
+        out_block = pl.BlockSpec(
+            (None, _R, 2, 128), lambda b, t: (b * T + t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((B * T, _R, 2, 128), U32)
+
+    staging = pl.pallas_call(
+        functools.partial(_compact_kernel, pair=pair),
+        grid=(B, T),
+        in_specs=[
+            x_spec,
+            pl.BlockSpec(
+                (None, 2, 128), lambda b, t: (b * T + t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, 2, 128), lambda b, t: (b * T + t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=out_block,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(x_in, bm_in, lwr)
+
+    # glue cells: per (member, cell) run into the member's compact row
+    CWp = pair * NF
+    b_ar = jnp.arange(B, dtype=I32)[:, None]
+    t_ar = jnp.arange(T, dtype=I32)[None, :]
+    cnt = (
+        jnp.concatenate(
+            [wr.reshape(B, T, _CBW)[:, 1:, 0], incl[:, -1:]], axis=1
+        )
+        - base
+    )
+    dst = (b_ar * CWp + base * pair).reshape(-1)
+    src = ((b_ar * T + t_ar) * (pair * _CW)).reshape(-1)
+    lens = (cnt * pair).reshape(-1)
+    compact = runs_merge(
+        staging.reshape(-1), dst, src, lens, B * CWp
+    ).reshape(B, CWp)
+    return compact, nnz
+
+
 @functools.partial(jax.jit, static_argnames=("n_floats", "pair"))
 def expand_by_bitmap(
     nz32: jax.Array,
