@@ -43,8 +43,8 @@ from ...core.constants import (
 I32 = jnp.int32
 U32 = jnp.uint32
 
-_UNROLL = 4  # steps per phase-A grid invocation
-_NJ = STEPS_PER_BLOCK // _UNROLL  # 32
+_UNROLL = 16  # steps per phase-A grid invocation
+_NJ = STEPS_PER_BLOCK // _UNROLL  # 8
 
 # stream output geometry: 1280 u32 words (2560 u16) per block, 10 chunks
 _SOW = 1280
@@ -110,17 +110,23 @@ def _encode_kernel(
     state_check_shift = ANS_STATE_BITS - prob_bits
     prob_mul = U32(1 << prob_bits)
 
-    # unpack the uint32-packed symbol block: target byte lane l of step u
-    # reads word lane u*32 + (l>>5)*8 + ((l&31)>>2), byte l&3
-    xw = pltpu.bitcast(sym_ref[...], I32)  # (G4, 128) packed words
-    src_lane = (lane >> 5) * 8 + ((lane & 31) >> 2)
+    # unpack the uint32-packed symbol block (block-major input: slab gb
+    # holds block 4*g4+gb's words for this invocation's 16 steps): target
+    # byte lane l of step u reads slab l>>5, word lane u*8 + ((l&31)>>2)
+    xw = [pltpu.bitcast(sym_ref[:, q, :], I32) for q in range(4)]
+    grp = lane >> 5
+    word_lane = (lane & 31) >> 2
     byte_sh = (lane & 3) * 8
 
     words_out = []
     masks_out = []
     for u in range(_UNROLL):
         i = j * _UNROLL + u
-        w = jnp.take_along_axis(xw, u * 32 + src_lane, axis=1)
+        idx = u * 8 + word_lane
+        w = jnp.take_along_axis(xw[0], idx, axis=1)
+        for q in range(1, 4):
+            g = jnp.take_along_axis(xw[q], idx, axis=1)
+            w = jnp.where(grp == q, g, w)
         sym = (w >> byte_sh) & 0xFF
         v = (i * WARP_SIZE + gl) < valid_n
 
@@ -168,7 +174,11 @@ def _encode_kernel(
     states_s[...] = states
     nw_s[...] = nw
 
-    out_w_ref[...] = jnp.concatenate(words_out, axis=1)
+    # block-major words: slab gb gets its 16 steps' 32-lane strips
+    for q in range(4):
+        out_w_ref[:, q, :] = jnp.concatenate(
+            [wo[:, q * 32 : (q + 1) * 32] for wo in words_out], axis=1
+        )
     # one mask lane per (block, step): lanes 0..15 = (step u, group g).
     # Mosaic's lane gather needs idx shape == operand shape, so gather
     # full-width with idx lane*32 mod 128 (lanes 0..3 = group starts) and
@@ -290,13 +300,9 @@ def encode_blocks_fused(
     CELLS = NBP // G
 
     xp = jnp.pad(x32, ((0, 0), (0, (NBP - NB) * WPB)))
-    # phase-A symbol layout: [cell, j, g4, u*32 + gb*8 + w] = packed word w
-    # (bytes 4w..4w+3) of block 4*g4+gb at positions 32*(4j+u) + 4w ..
-    sym = (
-        xp.reshape(B * CELLS, G4, 4, _NJ, _UNROLL, 8)
-        .transpose(0, 3, 1, 4, 2, 5)
-        .reshape(B * CELLS, _NJ, G4, _UNROLL * 32)
-    )
+    # phase-A symbol layout is block-major — a PURE reshape of the input:
+    # [cell, g4, gb, j*128 + u*8 + w] = word (16j+u)*8+w of block 4*g4+gb
+    sym = xp.reshape(B * CELLS, G4, 4, _NJ * 128)
 
     blk = jnp.arange(NBP, dtype=I32)[None, :]
     valid_n = jnp.clip(
@@ -320,8 +326,8 @@ def encode_blocks_fused(
         grid=grid_a,
         in_specs=[
             pl.BlockSpec(
-                (None, None, G4, _UNROLL * 32),
-                lambda b, t, j: (b * cells + t, j, 0, 0),
+                (None, G4, 4, 128),
+                lambda b, t, j: (b * cells + t, 0, 0, j),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -339,8 +345,8 @@ def encode_blocks_fused(
         ],
         out_specs=[
             pl.BlockSpec(
-                (None, None, G4, _UNROLL * 128),
-                lambda b, t, j: (b * cells + t, j, 0, 0),
+                (None, G4, 4, _UNROLL * 32),
+                lambda b, t, j: (b * cells + t, 0, 0, j),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -358,7 +364,9 @@ def encode_blocks_fused(
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B * CELLS, _NJ, G4, _UNROLL * 128), U32),
+            jax.ShapeDtypeStruct(
+                (B * CELLS, G4, 4, _NJ * _UNROLL * 32), U32
+            ),
             jax.ShapeDtypeStruct((B * CELLS, _NJ, G4, _UNROLL * 4), U32),
             jax.ShapeDtypeStruct((B * CELLS, G4, 128), U32),
             jax.ShapeDtypeStruct((B * CELLS, G4, 4), I32),
@@ -372,14 +380,9 @@ def encode_blocks_fused(
         ),
     )(sym, vn, tab2, mag2)
 
-    # rearrange phase-A outputs to per-block rows for phase B
-    # words: [cell, j, g4, u*128 + gb*32 + lb] -> [cell*G+g, 4096]
-    words_pb = (
-        words_d.reshape(B * CELLS, _NJ, G4, _UNROLL, 4, 32)
-        .transpose(0, 2, 4, 1, 3, 5)
-        .reshape(B * CELLS, G, STEPS_PER_BLOCK * 32)
-    )
-    # masks: [cell, j, g4, u*4 + gb] -> [cell, g, 128 steps]
+    # phase-A words are already block-major: [cell, g4, gb, step*32+lb]
+    words_pb = words_d.reshape(B * CELLS, G, STEPS_PER_BLOCK * 32)
+    # masks: [cell, j, g4, u*4 + gb] -> [cell, g, 128 steps] (tiny array)
     masks_pb = (
         masks_d.reshape(B * CELLS, _NJ, G4, _UNROLL, 4)
         .transpose(0, 2, 4, 1, 3)
