@@ -86,16 +86,17 @@ def bench_one(ft, n, bs, prob_bits, sparsity=0.5):
     def p_dec(c, out, i):
         return c.at[:, -1:].set(out[0][:, :1] + jnp.uint32(i))
 
+    iters = min(64, max(ITERS, (1 << 24) // max(n * bs, 1) + 1))
     def t_of(f1, fk):
         fence(f1()); fence(fk())
         t1s, tks = [], []
         for _ in range(REPEATS):
             t0 = time.time(); fence(f1()); t1s.append(time.time() - t0)
             t0 = time.time(); fence(fk()); tks.append(time.time() - t0)
-        return max((min(tks) - min(t1s)) / (ITERS - 1), 1e-9)
+        return max((min(tks) - min(t1s)) / (iters - 1), 2e-6)
 
-    t_enc = t_of(chain(enc, data32, p_enc, 1), chain(enc, data32, p_enc, ITERS))
-    t_dec = t_of(chain(dec, comp32, p_dec, 1), chain(dec, comp32, p_dec, ITERS))
+    t_enc = t_of(chain(enc, data32, p_enc, 1), chain(enc, data32, p_enc, iters))
+    t_dec = t_of(chain(dec, comp32, p_dec, 1), chain(dec, comp32, p_dec, iters))
     return raw_gb / t_enc, raw_gb / t_dec
 
 

@@ -8,9 +8,9 @@ static-shape and jit-friendly:
   sizes vector — the reference's Stride calling convention. Pointer and
   SplitSize conventions are host-side wrappers (api/codec.py).
 * Archive layout offsets depend on the dynamic per-member block count, so
-  assembly is expressed as a gather cascade over output words: every output
-  uint32 selects its source (header / probs / states / blockWords / stream)
-  from region arithmetic. The inverse (parsing) is plain gathers.
+  assembly and parsing are expressed as ragged runs (header / probs /
+  states / blockWords / per-block streams) executed by the runs-merge
+  engine (ops.pallas.merge) — bulk DMA + vector rotates, no scatter.
 * Compressed outputs are zero-padded to the worst-case row size given by
   ``max_compressed_size`` — same buffer contract as the reference API, but
   with deterministic (zero) padding instead of garbage.

@@ -3,16 +3,14 @@
 TPU equivalent of floatCompressDevice / floatDecompressDevice
 (GpuFloatCompress.cuh:670-874, GpuFloatDecompress.cuh:900-1073). Structure:
 
-* compress: split (elementwise bit ops, fused by XLA) -> per-plane ANS
-  encode (1 plane; 2 independent planes for fp64) -> one gather-cascade
-  assembly placing header, raw sections, and ANS archive(s) in the archive
-  layout. The reference's fused split+histogram is recovered because the
-  split and the histogram read the same fused producer.
+* compress: Pallas fused split+histogram (the reference's
+  splitFloat+histogram) -> per-plane ANS encode (1 plane; 2 independent
+  planes for fp64) -> one ragged runs-merge placing header, raw sections,
+  and ANS archive(s) in the archive layout. Every plane stays packed in
+  uint32 lanes end to end.
 * decompress: header parse -> per-plane ANS decode at dynamic offsets ->
-  section gathers -> join. The reference's fused decode-join (JoinFloatWriter)
-  is an optimization against a second pass over HBM; here join is a separate
-  fused elementwise consumer of the decode output (the Pallas decode kernel
-  fuses it properly).
+  raw-section runs-merge into dense staging -> Pallas packed join (the
+  reference's JoinFloatWriter fusion, as a second HBM-bound pass).
 
 fp64 is two ANS planes; the byte offset of the second is recorded in the
 second header word exactly as GpuFloatHeader2 does (GpuFloatUtils.cuh:78-96).
