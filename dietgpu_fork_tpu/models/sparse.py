@@ -243,19 +243,18 @@ def sparse_float_decompress_core(
     success = success & dsuccess
 
     # expansion: out[i] = bitmap[i] ? nonzeros[rank(i)] : 0. On TPU the
-    # word-granular types use the Pallas window-gather kernel; 16-bit types
-    # and CPU use the rank-gather formulation.
-    if jax.default_backend() == "tpu" and ft in (
-        FloatType.FLOAT32, FloatType.FLOAT64,
-    ):
+    # Pallas window-gather kernel handles all types (pair=0 is the u16-item
+    # mode); CPU keeps the rank-gather formulation.
+    if jax.default_backend() == "tpu":
         from ..ops.checksum import mask_packed_bytes
         from ..ops.pallas.sparse_stream import bitrev8_words, expand_by_bitmap
 
         ws_ = FLOAT_WORD_SIZE[ft]
-        pair = 1 if ft == FloatType.FLOAT32 else 2
+        pair = {2: 0, 4: 1, 8: 2}[ws_]
+        out_w = -(-out_floats * ws_ // 4)
         bm_lsb = bitrev8_words(bm32)
         words32 = expand_by_bitmap(nz32, bm_lsb, out_floats, pair=pair)[
-            :, : pair * out_floats
+            :, :out_w
         ]
         words32 = mask_packed_bytes(words32, n * ws_)
         return words32, success, n.astype(U32), csum_arch, csum_got

@@ -59,10 +59,13 @@ def _expand_kernel(
     base_ref, nchd_ref, nz_ref, bm_ref, wr_ref, out_ref,
     win, sem, *, pair: int, NZR: int,
 ):
+    """pair=1: one word per float (fp32); pair=2: (lo, hi) pairs (fp64);
+    pair=0: HALF mode — u16 items packed two per word (bf16/fp16)."""
     cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
     base = base_ref[cell]
-    w0 = (base * pair) // 1024 * 1024
-    off = base * pair - w0
+    base_w = (base * pair) if pair else (base // 2)  # window start, words
+    w0 = base_w // 1024 * 1024
+    off = base_w - w0
     nchd = nchd_ref[cell]  # 1024-word DMA chunks to fetch
     rowbase = pl.program_id(0) * NZR + w0 // 128
 
@@ -126,7 +129,7 @@ def _expand_kernel(
     if pair == 1:
         val = gather_win(gidx)
         out_ref[...] = jnp.where(is_set, val, U32(0))
-    else:
+    elif pair == 2:
         lo = jnp.where(is_set, gather_win(gidx), U32(0))
         hi = jnp.where(is_set, gather_win(gidx + 1), U32(0))
         m = l >> 1
@@ -135,6 +138,25 @@ def _expand_kernel(
             ol = jnp.take_along_axis(lo, idx, axis=1)
             oh = jnp.take_along_axis(hi, idx, axis=1)
             out_ref[:, t, :] = jnp.where((l & 1) == 1, oh, ol)
+    else:
+        # HALF mode: item rank g = base + excl; u16 item at word g>>1,
+        # half g&1; combine float pairs (2j, 2j+1) into output words
+        g = base + excl
+        wv = gather_win((g >> 1) - w0)
+        v16 = (wv >> ((g & 1).astype(U32) * U32(16))) & U32(0xFFFF)
+        v16 = jnp.where(is_set, v16, U32(0))
+        # floats 2j / 2j+1 of out word j live at flat float lanes 2j, 2j+1:
+        # slab-deinterleave the (R, 128) float tile pairs
+        v2 = v16.reshape(_R // 2, 2, 128)
+        lo2 = jax.lax.broadcasted_iota(I32, (_R // 2, 128), 1)
+        sel = lo2 >> 6
+        e = jnp.take_along_axis(v2[:, 0, :], (2 * lo2) & 127, axis=1)
+        e1 = jnp.take_along_axis(v2[:, 1, :], (2 * lo2) & 127, axis=1)
+        e = jnp.where(sel == 1, e1, e)
+        o = jnp.take_along_axis(v2[:, 0, :], (2 * lo2 + 1) & 127, axis=1)
+        o1 = jnp.take_along_axis(v2[:, 1, :], (2 * lo2 + 1) & 127, axis=1)
+        o = jnp.where(sel == 1, o1, o)
+        out_ref[...] = e | (o << U32(16))
 
 
 def _compact_kernel(x_ref, bm_ref, wr_ref, out_ref, *, pair: int):
@@ -345,9 +367,11 @@ def expand_by_bitmap(
         axis=1,
     ).reshape(-1)
     cnt = endr - base
-    nchd = jnp.clip(
-        ((base * pair) % 1024 + (cnt + 1) * pair + 1023) // 1024, 1, _WINC
-    ).astype(I32)
+    if pair:
+        span = (base * pair) % 1024 + (cnt + 1) * pair
+    else:
+        span = (base // 2) % 1024 + cnt // 2 + 2
+    nchd = jnp.clip((span + 1023) // 1024, 1, _WINC).astype(I32)
 
     pad = (-NW) % 1024 + _WIN + 1024
     nz2 = jnp.pad(nz32, ((0, 0), (0, pad))).reshape(B, -1, 128)
@@ -358,17 +382,23 @@ def expand_by_bitmap(
     wr_in = wr.reshape(B * T, 2, 128)
 
     if pair == 1:
-        out_block = pl.BlockSpec(
-            (None, _R, 128), lambda b, t, s1, s2: (b * T + t, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        out_shape = jax.ShapeDtypeStruct((B * T, _R, 128), U32)
+        out_rows = _R
+    elif pair == 2:
+        out_rows = None  # 4-D block below
     else:
+        out_rows = _R // 2
+    if pair == 2:
         out_block = pl.BlockSpec(
             (None, _R, 2, 128), lambda b, t, s1, s2: (b * T + t, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
         out_shape = jax.ShapeDtypeStruct((B * T, _R, 2, 128), U32)
+    else:
+        out_block = pl.BlockSpec(
+            (None, out_rows, 128), lambda b, t, s1, s2: (b * T + t, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((B * T, out_rows, 128), U32)
 
     out = pl.pallas_call(
         functools.partial(_expand_kernel, pair=pair, NZR=NZR),
@@ -397,4 +427,5 @@ def expand_by_bitmap(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
     )(base.astype(I32), nchd, nz2, bm_in, wr_in)
-    return out.reshape(B, T * pair * _CW)
+    wpc = pair * _CW if pair else _CW // 2  # output words per cell
+    return out.reshape(B, T * wpc)
