@@ -174,10 +174,17 @@ def _encode_kernel(
     states_s[...] = states
     nw_s[...] = nw
 
-    # block-major words: slab gb gets its 16 steps' 32-lane strips
+    # block-major words, packed two u16 per lane: slab gb gets its 16
+    # steps' 16-lane pair strips (halves phase-B staging and gather width)
+    pk_idx = ((lane >> 4) * 32 + 2 * (lane & 15)) & 127  # lanes >=64 unused
+    packed_out = []
+    for wo in words_out:
+        e = jnp.take_along_axis(wo, pk_idx, axis=1)
+        o = jnp.take_along_axis(wo, pk_idx + 1, axis=1)
+        packed_out.append(e | (o << U32(16)))
     for q in range(4):
         out_w_ref[:, q, :] = jnp.concatenate(
-            [wo[:, q * 32 : (q + 1) * 32] for wo in words_out], axis=1
+            [pw[:, q * 16 : (q + 1) * 16] for pw in packed_out], axis=1
         )
     # one mask lane per (block, step): lanes 0..15 = (step u, group g).
     # Mosaic's lane gather needs idx shape == operand shape, so gather
@@ -254,15 +261,18 @@ def _compact_kernel(
             cs = jnp.take_along_axis(csum, s, axis=1)
             m = jnp.take_along_axis(masks, s, axis=1)
             lb = _rank_select32(m, widx - cs)
-            flat = s * 32 + lb  # position in the dense (128, 32) emission grid
-            f_lane = flat & 127
-            f_chunk = flat >> 7
+            flat = s * 32 + lb  # position in the dense (128, 32) grid
+            half = flat & 1
+            flat2 = flat >> 1  # staged pair-word index (128 x 16 grid)
+            f_lane = flat2 & 127
+            f_chunk = flat2 >> 7
             val = jnp.zeros((G, 128), U32)
-            for c in range(32):
+            for c in range(16):
                 g = jnp.take_along_axis(
                     words_ref[:, c * 128 : (c + 1) * 128], f_lane, axis=1
                 )
                 val = jnp.where(f_chunk == c, g, val)
+            val = jnp.where(half == 1, val >> U32(16), val & U32(0xFFFF))
             return jnp.where(widx < nw, val, U32(0))
 
         w0 = base + lane * 2
@@ -345,7 +355,7 @@ def encode_blocks_fused(
         ],
         out_specs=[
             pl.BlockSpec(
-                (None, G4, 4, _UNROLL * 32),
+                (None, G4, 4, _UNROLL * 16),
                 lambda b, t, j: (b * cells + t, 0, 0, j),
                 memory_space=pltpu.VMEM,
             ),
@@ -365,7 +375,7 @@ def encode_blocks_fused(
         ],
         out_shape=[
             jax.ShapeDtypeStruct(
-                (B * CELLS, G4, 4, _NJ * _UNROLL * 32), U32
+                (B * CELLS, G4, 4, _NJ * _UNROLL * 16), U32
             ),
             jax.ShapeDtypeStruct((B * CELLS, _NJ, G4, _UNROLL * 4), U32),
             jax.ShapeDtypeStruct((B * CELLS, G4, 128), U32),
@@ -380,8 +390,9 @@ def encode_blocks_fused(
         ),
     )(sym, vn, tab2, mag2)
 
-    # phase-A words are already block-major: [cell, g4, gb, step*32+lb]
-    words_pb = words_d.reshape(B * CELLS, G, STEPS_PER_BLOCK * 32)
+    # phase-A words are already block-major u16 pairs:
+    # [cell, g4, gb, step*16 + lb/2]
+    words_pb = words_d.reshape(B * CELLS, G, STEPS_PER_BLOCK * 16)
     # masks: [cell, j, g4, u*4 + gb] -> [cell, g, 128 steps] (tiny array)
     masks_pb = (
         masks_d.reshape(B * CELLS, _NJ, G4, _UNROLL, 4)
@@ -397,7 +408,7 @@ def encode_blocks_fused(
         grid=(B, CELLS, _NCH),
         in_specs=[
             pl.BlockSpec(
-                (None, G, STEPS_PER_BLOCK * 32),
+                (None, G, STEPS_PER_BLOCK * 16),
                 lambda b, t, c, nw_: (b * cells + t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
