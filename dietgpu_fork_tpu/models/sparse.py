@@ -149,16 +149,15 @@ def sparse_float_compress_core(
     bmw_cap = _bitmap_words(S_cap)
     if bm32.shape[1] < bmw_cap:
         bm32 = jnp.pad(bm32, ((0, 0), (0, bmw_cap - bm32.shape[1])))
-    if jax.default_backend() == "tpu" and ft in (
-        FloatType.FLOAT32, FloatType.FLOAT64,
-    ):
+    if jax.default_backend() == "tpu":
         from ..ops.pallas.sparse_stream import bitrev8_words, compact_by_bitmap
 
-        pair = 1 if ft == FloatType.FLOAT32 else 2
+        ws_ = FLOAT_WORD_SIZE[ft]
+        pair = {2: 0, 4: 1, 8: 2}[ws_]
         packed, nnz = compact_by_bitmap(
             data32, bitrev8_words(bm32), S_cap, pair=pair
         )
-        packed = packed[:, : pair * S_cap]
+        packed = packed[:, : -(-S_cap * ws_ // 4)]
     else:
         packed, nnz = _compact_nonzeros(data32, nz, ft, S_cap)
 

@@ -82,6 +82,11 @@ def _decode_kernel(
     r = ((uw - 1) % WARP_SIZE) + 1
     nsteps = -(-uw // WARP_SIZE)
     mask = U32((1 << prob_bits) - 1)
+    # hoist the per-chunk LUT broadcasts out of the 16-step unroll
+    lut_bc = [
+        jnp.broadcast_to(lut[c][None, :], (G4, 128))
+        for c in range(lut.shape[0])
+    ]
 
     def one_step(i, states, ptr):
         k = i - (STEPS_PER_BLOCK - nsteps)
@@ -92,10 +97,8 @@ def _decode_kernel(
         lane_i = sbar & 127
         chunk_i = sbar >> 7
         ent = jnp.zeros((G4, 128), U32)
-        for c in range(lut.shape[0]):
-            g = jnp.take_along_axis(
-                jnp.broadcast_to(lut[c][None, :], (G4, 128)), lane_i, axis=1
-            )
+        for c in range(len(lut_bc)):
+            g = jnp.take_along_axis(lut_bc[c], lane_i, axis=1)
             ent = jnp.where(chunk_i == c, g, ent)
 
         sym = ent & U32(0xFF)

@@ -210,12 +210,13 @@ def _compact_kernel(x_ref, bm_ref, wr_ref, out_ref, *, pair: int):
             return jnp.where(chunk_i == c, g, acc)
 
         return jax.lax.fori_loop(
-            0, pair * _R, body, jnp.zeros((_R, 128), U32), unroll=False
+            0, x_ref.shape[0], body, jnp.zeros((_R, 128), U32),
+            unroll=False,
         )
 
     if pair == 1:
         out_ref[...] = gather_cell(f)
-    else:
+    elif pair == 2:
         lo_w = gather_cell(2 * f)
         hi_w = gather_cell(2 * f + 1)
         mm = l >> 1
@@ -224,6 +225,11 @@ def _compact_kernel(x_ref, bm_ref, wr_ref, out_ref, *, pair: int):
             ol = jnp.take_along_axis(lo_w, idx, axis=1)
             oh = jnp.take_along_axis(hi_w, idx, axis=1)
             out_ref[:, t, :] = jnp.where((l & 1) == 1, oh, ol)
+    else:
+        # HALF mode: one u16 item per slot, staged one-per-u32-lane (a
+        # global runs-merge then a pair-pack kernel produce the stream)
+        wv = gather_cell(f >> 1)
+        out_ref[...] = (wv >> ((f & 1).astype(U32) * U32(16))) & U32(0xFFFF)
 
 
 @functools.partial(jax.jit, static_argnames=("n_floats", "pair"))
@@ -264,15 +270,16 @@ def compact_by_bitmap(
     lwr = (wr.reshape(B, T, _CBW) - base[:, :, None]).reshape(B * T, 2, 128)
     bm_in = bm.reshape(B * T, 2, 128)
 
+    xrows = pair * _R if pair else _R // 2  # data words per cell / 128
     xw = jnp.pad(
-        data32, ((0, 0), (0, pair * NF - data32.shape[1]))
-    ) if data32.shape[1] < pair * NF else data32[:, : pair * NF]
-    x_in = xw.reshape(B * T, pair * _R, 128)
+        data32, ((0, 0), (0, xrows * 128 * T - data32.shape[1]))
+    ) if data32.shape[1] < xrows * 128 * T else data32[:, : xrows * 128 * T]
+    x_in = xw.reshape(B * T, xrows, 128)
     x_spec = pl.BlockSpec(
-        (None, pair * _R, 128), lambda b, t: (b * T + t, 0, 0),
+        (None, xrows, 128), lambda b, t: (b * T + t, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    if pair == 1:
+    if pair != 2:
         out_block = pl.BlockSpec(
             (None, _R, 128), lambda b, t: (b * T + t, 0, 0),
             memory_space=pltpu.VMEM,
@@ -306,8 +313,11 @@ def compact_by_bitmap(
         ),
     )(x_in, bm_in, lwr)
 
-    # glue cells: per (member, cell) run into the member's compact row
-    CWp = pair * NF
+    # glue cells: per (member, cell) run into the member's compact row.
+    # pair=0 merges at ITEM granularity (one u32 lane per u16 item) and a
+    # pair-pack kernel then forms the u16 stream.
+    upf = pair if pair else 1  # staged u32 units per item
+    CWp = upf * NF
     b_ar = jnp.arange(B, dtype=I32)[:, None]
     t_ar = jnp.arange(T, dtype=I32)[None, :]
     cnt = (
@@ -316,13 +326,57 @@ def compact_by_bitmap(
         )
         - base
     )
-    dst = (b_ar * CWp + base * pair).reshape(-1)
-    src = ((b_ar * T + t_ar) * (pair * _CW)).reshape(-1)
-    lens = (cnt * pair).reshape(-1)
+    dst = (b_ar * CWp + base * upf).reshape(-1)
+    src = ((b_ar * T + t_ar) * (upf * _CW)).reshape(-1)
+    lens = (cnt * upf).reshape(-1)
     compact = runs_merge(
         staging.reshape(-1), dst, src, lens, B * CWp
     ).reshape(B, CWp)
+    if pair == 0:
+        compact = pack_u16_pairs(compact)
     return compact, nnz
+
+
+def _pack_pairs_kernel(x_ref, out_ref):
+    """(R, 2, 128) u32 item slabs -> (R, 128) packed u16 pairs."""
+    R = out_ref.shape[0]
+    l = jax.lax.broadcasted_iota(I32, (R, 128), 1)
+    sel = l >> 6
+    e0 = jnp.take_along_axis(x_ref[:, 0, :], (2 * l) & 127, axis=1)
+    e1 = jnp.take_along_axis(x_ref[:, 1, :], (2 * l) & 127, axis=1)
+    e = jnp.where(sel == 1, e1, e0)
+    o0 = jnp.take_along_axis(x_ref[:, 0, :], (2 * l + 1) & 127, axis=1)
+    o1 = jnp.take_along_axis(x_ref[:, 1, :], (2 * l + 1) & 127, axis=1)
+    o = jnp.where(sel == 1, o1, o0)
+    out_ref[...] = (e & U32(0xFFFF)) | (o << U32(16))
+
+
+@jax.jit
+def pack_u16_pairs(items32: jax.Array) -> jax.Array:
+    """uint32[B, N] one-item-per-lane -> uint32[B, N/2] little-endian u16
+    pairs (N must be a multiple of 2*_CW cells here)."""
+    B, N = items32.shape
+    RW = 1024  # input rows per grid cell
+    T = -(-N // (RW * 128))
+    x = jnp.pad(items32, ((0, 0), (0, T * RW * 128 - N))).reshape(
+        B * T, RW // 2, 2, 128
+    )
+    out = pl.pallas_call(
+        _pack_pairs_kernel,
+        grid=(B * T,),
+        in_specs=[
+            pl.BlockSpec(
+                (None, RW // 2, 2, 128), lambda c: (c, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, RW // 2, 128), lambda c: (c, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * T, RW // 2, 128), U32),
+    )(x)
+    return out.reshape(B, -1)[:, : N // 2]
 
 
 @functools.partial(jax.jit, static_argnames=("n_floats", "pair"))
