@@ -233,23 +233,17 @@ def ans_encode_padded(
     return comp, comp_bytes
 
 
-def ans_decode_core(
+def _ans_parse_and_stage(
     comp32: jax.Array,
     base32: jax.Array,
     out_capacity: int,
-    prob_bits: int = 10,
-    capacities: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Decode ANS archives located at per-member uint32 offsets ``base32``
-    within the rows of ``comp32`` (the float codec places its ANS segments at
-    dynamic offsets past headers and raw sections).
-
-    Returns (out32 uint32[B, ceil(out_capacity/4)] packed decoded bytes
-    (zeros beyond the decoded size), success bool[B], sizes uint32[B],
-    archive_checksum uint32[B]). Mirrors ansDecodeKernel's capacity check:
-    members whose decoded size exceeds capacity fail and report the required
-    size (GpuANSDecode.cuh:326-337).
-    """
+    capacities: Optional[jax.Array],
+):
+    """Shared decode front half: header parse, capacity check, and the
+    states/blockWords/stream staging merges. On TPU the stream staging is
+    END-aligned for the v2 decoder; on CPU it is start-aligned for the
+    reference path. Returns (streams, comp_w, uncomp_w, states, pdf,
+    success, n, csum, NB)."""
     B, CW = comp32.shape
     NB = max(1, -(-out_capacity // BLOCK_SIZE))
     base32 = base32.astype(I32)
@@ -274,7 +268,7 @@ def ans_decode_core(
     pdf = jnp.stack([pw & u32(0xFFFF), pw >> u32(16)], axis=2).reshape(
         B, NUM_SYMBOLS
     )
-    lut = build_decode_table_batched(pdf, prob_bits)
+    on_tpu = jax.default_backend() == "tpu"
 
     # decodable blocks: those that fit the output buffer
     nb = jnp.minimum(nb_arch, NB)
@@ -304,23 +298,94 @@ def ans_decode_core(
     starts = jnp.where(live, by.astype(I32), 0)
 
     # merge 2: stage each block's compressed words into dense (B, NB, SW)
-    # rows (per-block starts are 16B aligned, so uint16 word k of a block
-    # lives at staged word k>>1, half k&1)
-    SW = MAX_BLOCK_WORDS32 + 8
+    # rows (uint16 word k of a block lives at staged word k>>1, half k&1).
+    # On TPU the staging is END-aligned (words at [SW-cw32, SW)) for the
+    # v2 decoder's lane-group layout; the CPU reference path start-aligns.
     r_flat = (b_ar[:, None] * NB + blk).reshape(-1)
-    dst2 = r_flat * SW
     src2 = ((abs_base + data_off)[:, None] + (starts >> 1)).reshape(-1)
     len2 = jnp.where(live, (comp_w + 1) >> 1, 0).reshape(-1)
-    streams32 = runs_merge(flat, dst2, src2, len2, B * NB * SW).reshape(
+    if on_tpu:
+        SW = -(-(MAX_BLOCK_WORDS32 + 8) // 32) * 32
+        dst2 = r_flat * SW + (SW - len2)
+    else:
+        SW = MAX_BLOCK_WORDS32 + 8
+        dst2 = r_flat * SW
+    streams = runs_merge(flat, dst2, src2, len2, B * NB * SW).reshape(
         B, NB, SW
     )
+    return streams, comp_w, uncomp_w, states, pdf, success, n, csum, NB
 
-    out_blocks = decode_blocks(
-        streams32, comp_w, uncomp_w, states, lut, prob_bits
+
+def ans_decode_core(
+    comp32: jax.Array,
+    base32: jax.Array,
+    out_capacity: int,
+    prob_bits: int = 10,
+    capacities: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Decode ANS archives located at per-member uint32 offsets ``base32``
+    within the rows of ``comp32`` (the float codec places its ANS segments at
+    dynamic offsets past headers and raw sections).
+
+    Returns (out32 uint32[B, ceil(out_capacity/4)] packed decoded bytes
+    (zeros beyond the decoded size), success bool[B], sizes uint32[B],
+    archive_checksum uint32[B]). Mirrors ansDecodeKernel's capacity check:
+    members whose decoded size exceeds capacity fail and report the required
+    size (GpuANSDecode.cuh:326-337).
+    """
+    B = comp32.shape[0]
+    streams, comp_w, uncomp_w, states, pdf, success, n, csum, NB = (
+        _ans_parse_and_stage(comp32, base32, out_capacity, capacities)
     )
+    if jax.default_backend() == "tpu":
+        from ..ops.pallas.rans_decode_fused2 import decode_blocks_fused2
+        from ..ops.table import build_decode_tables_split
+
+        sym4, symtab = build_decode_tables_split(pdf, prob_bits)
+        out_blocks = decode_blocks_fused2(
+            streams, comp_w, uncomp_w, states, sym4, symtab, prob_bits
+        )
+    else:
+        lut = build_decode_table_batched(pdf, prob_bits)
+        out_blocks = decode_blocks(
+            streams, comp_w, uncomp_w, states, lut, prob_bits
+        )
     OW = -(-out_capacity // 4)
     out32 = out_blocks.reshape(B, NB * (BLOCK_SIZE // 4))[:, :OW]
     nbytes = jnp.where(success, n, 0)
+    out32 = mask_packed_bytes(out32, nbytes)
+    return out32, success, n.astype(U32), csum
+
+
+def ans_decode_join16_core(
+    comp32: jax.Array,
+    base32: jax.Array,
+    raw32_blocks: jax.Array,
+    out_floats: int,
+    prob_bits: int,
+    bf16: bool,
+    capacities: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """TPU-only fused ANS-decode + 16-bit float join: the decoder emits
+    final float words directly (reference RUN_FUSED / JoinFloatWriter,
+    GpuFloatDecompress.cuh:709-972). ``raw32_blocks``: uint32[B, NB, 1024]
+    block-major raw-section words. Returns (words32 uint32[B, NB*2048/...],
+    success, n, csum) with the output masked to the decoded float count."""
+    from ..ops.pallas.rans_decode_fused2 import decode_join16_fused
+    from ..ops.table import build_decode_tables_split
+
+    B = comp32.shape[0]
+    streams, comp_w, uncomp_w, states, pdf, success, n, csum, NB = (
+        _ans_parse_and_stage(comp32, base32, out_floats, capacities)
+    )
+    sym4, symtab = build_decode_tables_split(pdf, prob_bits)
+    out_fw = decode_join16_fused(
+        streams, comp_w, uncomp_w, states, sym4, symtab, raw32_blocks,
+        prob_bits, bf16,
+    )
+    OW = -(-(2 * out_floats) // 4)
+    out32 = out_fw.reshape(B, NB * 2 * (BLOCK_SIZE // 4))[:, :OW]
+    nbytes = jnp.where(success, 2 * n, 0)
     out32 = mask_packed_bytes(out32, nbytes)
     return out32, success, n.astype(U32), csum
 

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.constants import (
+    BLOCK_SIZE,
     FLOAT_NUM_COMP_SEGMENTS,
     FLOAT_WORD_SIZE,
     FloatType,
@@ -231,6 +232,40 @@ def float_decompress_core(
 
     s1w, s2w = _section_word_counts(n, ft)
     ans_base0 = base32 + 8 + s1w + s2w
+
+    if (
+        ft in (FloatType.FLOAT16, FloatType.BFLOAT16)
+        and jax.default_backend() == "tpu"
+    ):
+        # fused decode+join (the reference's RUN_FUSED single-pass,
+        # GpuFloatDecompress.cuh:935-972): stage the raw section
+        # block-major (1024 words per 4096-float ANS block) and let the
+        # decoder emit final float words.
+        from ..ops.pallas.merge import runs_merge
+        from .ans import ans_decode_join16_core
+
+        NB = max(1, -(-out_floats // BLOCK_SIZE))
+        b_ar = jnp.arange(B, dtype=I32)
+        abs_base = b_ar * CW + base32
+        dst = b_ar * (NB * 1024)
+        lens = jnp.minimum(s1w, NB * 1024)
+        raw32 = runs_merge(
+            comp32.reshape(-1), dst, abs_base + 8, lens, B * NB * 1024
+        ).reshape(B, NB, 1024)
+        words32, ok, psize, _ = ans_decode_join16_core(
+            comp32, ans_base0, raw32, out_floats, prob_bits,
+            ft == FloatType.BFLOAT16, capacities,
+        )
+        success = success & ok & (psize.astype(I32) == n)
+        words32 = mask_packed_bytes(
+            words32, jnp.where(success, n, 0) * ws
+        )
+        csum_got = (
+            checksum_packed(words32, n * ws)
+            if verify_checksum
+            else jnp.zeros((B,), U32)
+        )
+        return words32, success, n.astype(U32), csum_arch, csum_got
 
     planes = []
     for seg in range(nseg):

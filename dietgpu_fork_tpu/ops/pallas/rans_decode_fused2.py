@@ -1,0 +1,444 @@
+"""Fused Pallas rANS decoder, v2: gather-lean, latency-tolerant.
+
+Redesign of rans_decode_fused driven by measured v5e op costs (independent
+lane-gathers ~26 cyc, dependent ~78 cyc, rolls ~14 cyc, elementwise ~free):
+the hot loop's cost is gather count and gather latency, so v2 cuts both.
+
+Changes vs v1 (see that module for the base scheme; reference hot loop:
+GpuANSDecode.cuh:56-105):
+
+* Two-level LUT. The 2^pb-entry LUT (8 gather+select rounds at pb=10)
+  becomes slot->sym (4 syms packed per u32: 2^pb/4 words, 2 rounds at
+  pb=10) followed by sym->(pdf | cdf<<16) (256 entries, 2 rounds); the
+  state update uses state' = pdf*(state>>pb) + (sbar - cdf), which equals
+  the v1 LUT's pdf*(state>>pb) + smc.
+* END-ALIGNED lane-group stream staging. Block (r, q)'s u32 stream word w
+  sits at chunk (ofs+w)>>5, lane q*32 + ((ofs+w)&31) with ofs = SW - cw32:
+  every block's stream ends at the staging top, so at a given step all
+  blocks' read cursors sit near the SAME chunk regardless of per-block
+  compressed size. The renorm gather loops over a small adaptive window
+  [lo, hi] of 32-word chunks: hi/mn are two in-kernel reductions per 8
+  steps, and lo decays by the worst-case consumption (16 u32/step). This
+  replaces v1's fixed scan over every stream chunk x 4 lane groups.
+* MXU ballot. The reverse-ballot suffix sum and the per-block read total
+  (GpuANSDecode.cuh:89-104) are one (G4,128)x(128,256) f32 matmul against
+  a constant 0/1 matrix (counts <= 32, exact in f32) instead of five
+  rolls + a gather.
+* Bigger cells (default G=512 blocks) amortize gather/matmul latency over
+  more vector rows.
+
+The same walk can emit JOINED 16-bit floats (fused decode+join, the
+reference's JoinFloatWriter path, GpuFloatDecompress.cuh:709-884): with
+one exponent byte and one raw byte per float, the packed symbol words and
+the block-major raw-section words line up 1:1, so the epilogue interleaves
+them into final float words and the separate join pass (plus its HBM round
+trip) disappears. bf16 applies the rotate-right-1 during the walk.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.constants import (
+    ANS_MIN_STATE,
+    BLOCK_SIZE,
+    STEPS_PER_BLOCK,
+    WARP_SIZE,
+)
+
+I32 = jnp.int32
+U32 = jnp.uint32
+F32 = jnp.float32
+
+_UNROLL = 16
+_NJ = STEPS_PER_BLOCK // _UNROLL  # 8
+_REBOUND = 8  # recompute the renorm window every 8 steps
+
+JOIN_NONE = 0  # emit packed symbol bytes (plain ANS decode)
+JOIN_F16 = 1  # emit (raw | sym<<8) u16 floats
+JOIN_BF16 = 2  # emit (raw | ror1(sym)<<8) u16 floats
+
+
+def _suffix_weights():
+    """(128, 256) f32: cols 0..127 = within-32-group inclusive suffix sum,
+    cols 128..255 = 32-group total."""
+    r = jax.lax.broadcasted_iota(I32, (128, 256), 0)
+    c = jax.lax.broadcasted_iota(I32, (128, 256), 1)
+    cl = c & 127
+    same = (r >> 5) == (cl >> 5)
+    take = same & ((c >= 128) | (r >= cl))
+    return jnp.where(take, 1.0, 0.0).astype(F32)
+
+
+def _decode_kernel2(
+    st_ref, cw_ref, uw_ref, sym4_ref, stab_ref, stream_ref, *rest,
+    prob_bits: int, G4: int, SW: int, SLC: int, join: int,
+):
+    if join == JOIN_NONE:
+        out_ref = rest[0]
+        states_s, ptr_s = rest[1], rest[2]
+        raw_ref = None
+    else:
+        raw_ref, out_ref = rest[0], rest[1]
+        states_s, ptr_s = rest[2], rest[3]
+
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        states_s[...] = st_ref[...]
+        ptr_s[...] = cw_ref[...]
+
+    uw = uw_ref[...]  # (G4, 128) i32 per-block byte counts (per lane)
+    cw = cw_ref[...]  # (G4, 128) i32 per-block u16 word counts
+    states = states_s[...]
+    ptr = ptr_s[...]
+
+    lane = jax.lax.broadcasted_iota(I32, (G4, 128), 1)
+    gl = lane & 31
+    q32 = lane - gl
+    r = ((uw - 1) % WARP_SIZE) + 1
+    nsteps = -(-uw // WARP_SIZE)
+    mask = U32((1 << prob_bits) - 1)
+    ofs32 = SW - ((cw + 1) >> 1)
+    live = uw > 0
+    W = _suffix_weights()
+
+    sym4_bc = [
+        jnp.broadcast_to(sym4_ref[c][None, :], (G4, 128)) for c in range(SLC)
+    ]
+    stab_bc = [
+        jnp.broadcast_to(stab_ref[c][None, :], (G4, 128)) for c in range(2)
+    ]
+
+    def one_step(i, du, states, ptr, hi_c, mn):
+        k = i - (STEPS_PER_BLOCK - nsteps)
+        active = (k >= 0) & live
+        lane_valid = active & ((k > 0) | (gl < r))
+
+        sbar = states & mask
+        sidx = (sbar >> U32(2)).astype(I32)
+        slane = sidx & 127
+        schunk = sidx >> 7
+        w = jnp.take_along_axis(sym4_bc[0], slane, axis=1)
+        for c in range(1, SLC):
+            g = jnp.take_along_axis(sym4_bc[c], slane, axis=1)
+            w = jnp.where(schunk == c, g, w)
+        sym = (w >> ((sbar & U32(3)) << U32(3))) & U32(0xFF)
+
+        tl = (sym & U32(127)).astype(I32)
+        e = jnp.take_along_axis(stab_bc[0], tl, axis=1)
+        e = jnp.where(
+            sym > U32(127), jnp.take_along_axis(stab_bc[1], tl, axis=1), e
+        )
+        pdfv = e & U32(0xFFFF)
+        cdfv = e >> U32(16)
+        states = jnp.where(
+            lane_valid,
+            pdfv * (states >> U32(prob_bits)) + sbar - cdfv,
+            states,
+        )
+
+        read = lane_valid & (states < U32(ANS_MIN_STATE))
+        so = jax.lax.dot_general(
+            read.astype(I32).astype(F32), W,
+            (((1,), (0,)), ((), ())), preferred_element_type=F32,
+        )
+        suffix = so[:, :128].astype(I32)
+        tot = so[:, 128:].astype(I32)
+        idx16 = ptr - suffix
+        gidx = jnp.clip(ofs32 + (idx16 >> 1), 0, SW - 1)
+        lane_t = q32 | (gidx & 31)
+        c2 = gidx >> 5
+        lo_c = jnp.maximum((mn - 17 - 16 * du) >> 5, 0)
+
+        def rd(c, w32):
+            g = jnp.take_along_axis(stream_ref[c], lane_t, axis=1)
+            return jnp.where(c2 == c, g, w32)
+
+        w32 = jax.lax.fori_loop(
+            lo_c, hi_c + 1, rd, jnp.zeros((G4, 128), U32), unroll=False
+        )
+        val = jnp.where(
+            (idx16 & 1) == 1, w32 >> U32(16), w32 & U32(0xFFFF)
+        )
+        states = jnp.where(read, (states << U32(16)) + val, states)
+        ptr = ptr - tot
+        sym = jnp.where(lane_valid, sym, U32(0))
+        return states, ptr, sym
+
+    pack_idx = 32 * (lane >> 3) + 4 * (lane & 7)
+
+    def pack(sym):
+        """(G4,128) bytes -> (G4,32) u32 words [q*8 + w]."""
+        p = sym | (pltpu.roll(sym, 127, 1) << U32(8))
+        word = jnp.take_along_axis(p, pack_idx, axis=1) | (
+            jnp.take_along_axis(p, pack_idx + 2, axis=1) << U32(16)
+        )
+        return word[:, :32]
+
+    words = []
+    for half in range(_UNROLL // _REBOUND):
+        ptrg = ofs32 + (ptr >> 1)
+        hi_c = jnp.max(jnp.where(live, ptrg, 0)) >> 5
+        mn = jnp.min(jnp.where(live, ptrg, 2 * SW))
+        for du in range(_REBOUND):
+            u = half * _REBOUND + du
+            states, ptr, sym = one_step(
+                j * _UNROLL + u, du, states, ptr, hi_c, mn
+            )
+            words.append(pack(sym))
+
+    states_s[...] = states
+    ptr_s[...] = ptr
+
+    if join == JOIN_NONE:
+        for q in range(4):
+            out_ref[:, q, :] = jnp.concatenate(
+                [w[:, q * 8 : (q + 1) * 8] for w in words[::-1]], axis=1
+            )
+        return
+
+    # fused 16-bit join: symbol word j' of a block covers floats
+    # 4j'..4j'+3, raw-section word j' covers the same floats' raw bytes;
+    # out words 2j' and 2j'+1 interleave their bytes.
+    half_idx = lane >> 1
+    for q in range(4):
+        s = jnp.concatenate(
+            [w[:, q * 8 : (q + 1) * 8] for w in words[::-1]], axis=1
+        )
+        w = raw_ref[:, q, :]
+        o0 = (
+            (w & U32(0xFF))
+            | ((s & U32(0xFF)) << U32(8))
+            | ((w & U32(0xFF00)) << U32(8))
+            | ((s & U32(0xFF00)) << U32(16))
+        )
+        wh = w >> U32(16)
+        sh = s >> U32(16)
+        o1 = (
+            (wh & U32(0xFF))
+            | ((sh & U32(0xFF)) << U32(8))
+            | ((wh & U32(0xFF00)) << U32(8))
+            | ((sh & U32(0xFF00)) << U32(16))
+        )
+        if join == JOIN_BF16:
+            # bf16 stores rotl1(word) split across the two bytes; undo it
+            # on the assembled u16 pairs (FloatTypeInfo<kBFloat16>::join,
+            # GpuFloatUtils.cuh:238-256)
+            o0 = ((o0 >> U32(1)) & U32(0x7FFF7FFF)) | (
+                (o0 << U32(15)) & U32(0x80008000)
+            )
+            o1 = ((o1 >> U32(1)) & U32(0x7FFF7FFF)) | (
+                (o1 << U32(15)) & U32(0x80008000)
+            )
+        odd = (lane & 1) == 1
+        for h in range(2):
+            idx = h * 64 + half_idx
+            a = jnp.take_along_axis(o0, idx, axis=1)
+            b = jnp.take_along_axis(o1, idx, axis=1)
+            out_ref[:, q, h * 128 : (h + 1) * 128] = jnp.where(odd, b, a)
+
+
+def _pick_g(NB: int) -> int:
+    if NB >= 512:
+        return 512
+    return max(8, -(-NB // 8) * 8)
+
+
+def _stage(streams_ea, comp_words, uncomp_words, states, G):
+    """Common staging: end-aligned (B,NB,SW) -> lane-group chunk-major."""
+    B, NB, SW = streams_ea.shape
+    assert SW % 32 == 0
+    G4 = G // 4
+    NBP = -(-NB // G) * G
+    CELLS = NBP // G
+    BC = B * CELLS
+    C2 = SW // 32
+
+    pb = (0, NBP - NB)
+    ST = (
+        jnp.pad(streams_ea, ((0, 0), pb, (0, 0)))
+        .reshape(BC, G4, 4, C2, 32)
+        .transpose(0, 3, 1, 2, 4)
+        .reshape(BC, C2, G4, 128)
+    )
+
+    def rep32(a):
+        return jnp.repeat(
+            a.reshape(BC, G4, 4, 1), 32, axis=3
+        ).reshape(BC, G4, 128)
+
+    cw = rep32(jnp.pad(comp_words.astype(I32), ((0, 0), pb)))
+    uw = rep32(jnp.pad(uncomp_words.astype(I32), ((0, 0), pb)))
+    st = jnp.pad(states, ((0, 0), pb, (0, 0))).reshape(BC, G4, 128)
+    return ST, cw, uw, st, NBP, CELLS, C2
+
+
+@functools.partial(jax.jit, static_argnames=("prob_bits",))
+def decode_blocks_fused2(
+    streams_ea: jax.Array,
+    comp_words: jax.Array,
+    uncomp_words: jax.Array,
+    states: jax.Array,
+    sym4: jax.Array,
+    symtab: jax.Array,
+    prob_bits: int,
+) -> jax.Array:
+    """Plain ANS decode. streams_ea: uint32[B, NB, SW] END-aligned (block
+    words at [SW-cw32, SW), SW % 32 == 0); sym4: uint32[B, 2^pb/4] packed
+    slot->sym; symtab: uint32[B, 256] = pdf | cdf<<16.
+    Returns uint32[B, NB, BLOCK_SIZE/4] packed decoded bytes."""
+    B, NB, SW = streams_ea.shape
+    G = _pick_g(NB)
+    G4 = G // 4
+    ST, cw, uw, st, NBP, CELLS, C2 = _stage(
+        streams_ea, comp_words, uncomp_words, states, G
+    )
+    SLC = max(1, sym4.shape[1] // 128)
+    sym4_r = sym4.reshape(B, SLC, 128) if sym4.shape[1] >= 128 else jnp.pad(
+        sym4, ((0, 0), (0, 128 - sym4.shape[1]))
+    ).reshape(B, 1, 128)
+    stab_r = symtab.reshape(B, 2, 128)
+
+    cells = CELLS
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_kernel2, prob_bits=prob_bits, G4=G4, SW=SW, SLC=SLC,
+            join=JOIN_NONE,
+        ),
+        grid=(B, CELLS, _NJ),
+        in_specs=[
+            pl.BlockSpec(
+                (None, G4, 128), lambda b, t, j: (b * cells + t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, G4, 128), lambda b, t, j: (b * cells + t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, G4, 128), lambda b, t, j: (b * cells + t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, SLC, 128), lambda b, t, j: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, 2, 128), lambda b, t, j: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, C2, G4, 128),
+                lambda b, t, j: (b * cells + t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, G4, 4, 128),
+            lambda b, t, j: (b * cells + t, 0, 0, _NJ - 1 - j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * CELLS, G4, 4, _NJ * 128), U32),
+        scratch_shapes=[
+            pltpu.VMEM((G4, 128), U32),
+            pltpu.VMEM((G4, 128), I32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+    )(st, cw, uw, sym4_r, stab_r, ST)
+    return out.reshape(B, NBP, BLOCK_SIZE // 4)[:, :NB]
+
+
+@functools.partial(jax.jit, static_argnames=("prob_bits", "bf16"))
+def decode_join16_fused(
+    streams_ea: jax.Array,
+    comp_words: jax.Array,
+    uncomp_words: jax.Array,
+    states: jax.Array,
+    sym4: jax.Array,
+    symtab: jax.Array,
+    raw32: jax.Array,
+    prob_bits: int,
+    bf16: bool,
+) -> jax.Array:
+    """Fused ANS-decode + 16-bit float join (reference RUN_FUSED,
+    GpuFloatDecompress.cuh:935-972). raw32: uint32[B, NB, 1024] block-major
+    raw-section words (raw word k of block nb = bytes of floats 4k..4k+3).
+    Returns uint32[B, NB, 2048]: final float words per block."""
+    B, NB, SW = streams_ea.shape
+    G = _pick_g(NB)
+    G4 = G // 4
+    ST, cw, uw, st, NBP, CELLS, C2 = _stage(
+        streams_ea, comp_words, uncomp_words, states, G
+    )
+    SLC = max(1, sym4.shape[1] // 128)
+    sym4_r = sym4.reshape(B, SLC, 128) if sym4.shape[1] >= 128 else jnp.pad(
+        sym4, ((0, 0), (0, 128 - sym4.shape[1]))
+    ).reshape(B, 1, 128)
+    stab_r = symtab.reshape(B, 2, 128)
+    raw_c = jnp.pad(raw32, ((0, 0), (0, NBP - NB), (0, 0))).reshape(
+        B * CELLS, G4, 4, _NJ * 128
+    )
+
+    cells = CELLS
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_kernel2, prob_bits=prob_bits, G4=G4, SW=SW, SLC=SLC,
+            join=JOIN_BF16 if bf16 else JOIN_F16,
+        ),
+        grid=(B, CELLS, _NJ),
+        in_specs=[
+            pl.BlockSpec(
+                (None, G4, 128), lambda b, t, j: (b * cells + t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, G4, 128), lambda b, t, j: (b * cells + t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, G4, 128), lambda b, t, j: (b * cells + t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, SLC, 128), lambda b, t, j: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, 2, 128), lambda b, t, j: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, C2, G4, 128),
+                lambda b, t, j: (b * cells + t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, G4, 4, 128),
+                lambda b, t, j: (b * cells + t, 0, 0, _NJ - 1 - j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, G4, 4, 256),
+            lambda b, t, j: (b * cells + t, 0, 0, _NJ - 1 - j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * CELLS, G4, 4, _NJ * 256), U32),
+        scratch_shapes=[
+            pltpu.VMEM((G4, 128), U32),
+            pltpu.VMEM((G4, 128), I32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+    )(st, cw, uw, sym4_r, stab_r, ST, raw_c)
+    return out.reshape(B, NBP, 2 * (BLOCK_SIZE // 4))[:, :NB]

@@ -89,6 +89,26 @@ def _umulhi_via_16(a: jax.Array, mh: jax.Array, ml: jax.Array) -> jax.Array:
     return ah * mh + (mid1 >> U32(16)) + (mid2 >> U32(16)) + carry
 
 
+def _ballot_weights():
+    """(128, 256) f32: col l<128 sums 2^(m&31) over same-group lanes with
+    (m&31)<16; col l>=128 the same for the high half (minus 16). The matmul
+    of a 0/1 write mask against this yields each 32-lane group's emission
+    ballot in two exact 16-bit halves (the reference's __ballot_sync,
+    GpuANSEncode.cuh:68-73)."""
+    r = jax.lax.broadcasted_iota(I32, (128, 256), 0)
+    c = jax.lax.broadcasted_iota(I32, (128, 256), 1)
+    cl = c & 127
+    same = (r >> 5) == (cl >> 5)
+    rb = r & 31
+    lo = same & (c < 128) & (rb < 16)
+    hi = same & (c >= 128) & (rb >= 16)
+    w = jnp.where(lo | hi, 1.0, 0.0).astype(jnp.float32)
+    scale = (jnp.int32(1) << jnp.where(rb < 16, rb, rb - 16)).astype(
+        jnp.float32
+    )
+    return w * scale[:, :1]
+
+
 def _encode_kernel(
     sym_ref, val_ref, tab_ref, mag_ref, out_w_ref, out_m_ref,
     out_st_ref, out_nw_ref, states_s, nw_s, *, prob_bits: int, G4: int,
@@ -109,40 +129,40 @@ def _encode_kernel(
     lane, gl = _grp_iota((G4, 128))
     state_check_shift = ANS_STATE_BITS - prob_bits
     prob_mul = U32(1 << prob_bits)
+    WB = _ballot_weights()
 
-    # unpack the uint32-packed symbol block (block-major input: slab gb
-    # holds block 4*g4+gb's words for this invocation's 16 steps): target
-    # byte lane l of step u reads slab l>>5, word lane u*8 + ((l&31)>>2)
-    xw = [pltpu.bitcast(sym_ref[:, q, :], I32) for q in range(4)]
-    grp = lane >> 5
-    word_lane = (lane & 31) >> 2
-    byte_sh = (lane & 3) * 8
+    # step-major symbol input (restaged by the driver): tile slab s=u>>2
+    # lane q*32 + (u&3)*8 + w3 holds word (j*16+u)*8+w3 of block (r, q);
+    # per step the distribution to byte lanes is ONE static gather.
+    byte_sh = ((lane & 3) * 8).astype(U32)
+    q32 = lane - (lane & 31)
+    w3 = (lane & 31) >> 2
+    tab_bc = [
+        jnp.broadcast_to(tab[c][None, :], (G4, 128)) for c in range(2)
+    ]
+    mag_bc = [
+        jnp.broadcast_to(mag[c][None, :], (G4, 128)) for c in range(2)
+    ]
 
     words_out = []
     masks_out = []
     for u in range(_UNROLL):
         i = j * _UNROLL + u
-        idx = u * 8 + word_lane
-        w = jnp.take_along_axis(xw[0], idx, axis=1)
-        for q in range(1, 4):
-            g = jnp.take_along_axis(xw[q], idx, axis=1)
-            w = jnp.where(grp == q, g, w)
-        sym = (w >> byte_sh) & 0xFF
+        src = pltpu.bitcast(sym_ref[u >> 2], I32)
+        w = jnp.take_along_axis(src, q32 + (u & 3) * 8 + w3, axis=1)
+        sym = (w.astype(U32) >> byte_sh) & U32(0xFF)
         v = (i * WARP_SIZE + gl) < valid_n
 
-        t_lane = sym & 127
-        t_chunk = sym >> 7
-        ent = jnp.zeros((G4, 128), U32)
-        mg = jnp.zeros((G4, 128), U32)
-        for c in range(2):
-            ge = jnp.take_along_axis(
-                jnp.broadcast_to(tab[c][None, :], (G4, 128)), t_lane, axis=1
-            )
-            gm = jnp.take_along_axis(
-                jnp.broadcast_to(mag[c][None, :], (G4, 128)), t_lane, axis=1
-            )
-            ent = jnp.where(t_chunk == c, ge, ent)
-            mg = jnp.where(t_chunk == c, gm, mg)
+        t_lane = (sym & U32(127)).astype(I32)
+        hi_sym = sym > U32(127)
+        ent = jnp.take_along_axis(tab_bc[0], t_lane, axis=1)
+        mg = jnp.take_along_axis(mag_bc[0], t_lane, axis=1)
+        ent = jnp.where(
+            hi_sym, jnp.take_along_axis(tab_bc[1], t_lane, axis=1), ent
+        )
+        mg = jnp.where(
+            hi_sym, jnp.take_along_axis(mag_bc[1], t_lane, axis=1), mg
+        )
 
         # unpack_encode_table layout: pdf | cdf<<11 | shift<<23
         pdf = ent & U32(0x7FF)
@@ -162,12 +182,16 @@ def _encode_kernel(
         states = jnp.where(v, q * prob_mul + mod + cdf, states)
 
         words_out.append(jnp.where(write, word, U32(0)))
-        # 32-bit emission mask per block, replicated across the group
-        bits = jnp.where(write, U32(1) << gl.astype(U32), U32(0))
-        for k in (1, 2, 4, 8, 16):
-            shifted = pltpu.roll(bits, k, 1)
-            bits = bits | jnp.where(gl >= k, shifted, U32(0))
-        bits = _grp_broadcast_last(bits)
+        # 32-bit emission ballot per block via one MXU matmul
+        bo = jax.lax.dot_general(
+            write.astype(I32).astype(jnp.float32), WB,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        boi = bo.astype(I32)
+        bits = boi[:, :128].astype(U32) | (
+            boi[:, 128:].astype(U32) << U32(16)
+        )
         masks_out.append(bits)
         nw = nw + write.astype(I32)
 
@@ -310,9 +334,14 @@ def encode_blocks_fused(
     CELLS = NBP // G
 
     xp = jnp.pad(x32, ((0, 0), (0, (NBP - NB) * WPB)))
-    # phase-A symbol layout is block-major — a PURE reshape of the input:
-    # [cell, g4, gb, j*128 + u*8 + w] = word (16j+u)*8+w of block 4*g4+gb
-    sym = xp.reshape(B * CELLS, G4, 4, _NJ * 128)
+    # phase-A symbol layout is STEP-major: [cell, s, g4, q*32 + ds*8 + w3]
+    # = word (4s+ds)*8+w3 of block (g4, q), so each step's byte
+    # distribution in the kernel is one static gather.
+    sym = (
+        xp.reshape(B * CELLS, G4, 4, 32, 4, 8)
+        .transpose(0, 3, 1, 2, 4, 5)
+        .reshape(B * CELLS, 32, G4, 128)
+    )
 
     blk = jnp.arange(NBP, dtype=I32)[None, :]
     valid_n = jnp.clip(
@@ -336,8 +365,8 @@ def encode_blocks_fused(
         grid=grid_a,
         in_specs=[
             pl.BlockSpec(
-                (None, G4, 4, 128),
-                lambda b, t, j: (b * cells + t, 0, 0, j),
+                (None, 4, G4, 128),
+                lambda b, t, j: (b * cells + t, j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(

@@ -125,6 +125,33 @@ def unpack_encode_table(t):
     return pdf, cdf, shift
 
 
+def build_decode_tables_split(
+    pdf: jax.Array, prob_bits: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-level decode tables for the v2 Pallas decoder: slot->sym with
+    four symbols packed per uint32 (uint32[B, 2^pb/4]) plus per-symbol
+    (pdf | cdf<<16) (uint32[B, 256]). Semantically equal to the packed
+    LUT of build_decode_table_batched (GpuANSDecode.cuh:34-41): the decode
+    step uses smc = sbar - cdf[sym]."""
+    nbuckets = 1 << prob_bits
+    bounds = jnp.cumsum(pdf.astype(I32), axis=1)  # inclusive
+    slots = jnp.arange(nbuckets, dtype=I32)
+
+    def one(bounds_row):
+        sym = jnp.searchsorted(bounds_row, slots, side="right").astype(I32)
+        return jnp.minimum(sym, NUM_SYMBOLS - 1)
+
+    sym = jax.vmap(one)(bounds).astype(U32)
+    s = sym.reshape(pdf.shape[0], nbuckets // 4, 4)
+    sym4 = (
+        s[:, :, 0] | (s[:, :, 1] << u32(8)) | (s[:, :, 2] << u32(16))
+        | (s[:, :, 3] << u32(24))
+    )
+    cdf = (bounds - pdf.astype(I32)).astype(U32)
+    symtab = pdf | (cdf << u32(16))
+    return sym4, symtab
+
+
 def build_decode_table_batched(pdf: jax.Array, prob_bits: int) -> jax.Array:
     """Expand pdf rows into 2^prob_bits decode LUTs; entries pack
     ((slot - cdf) << 20 | pdf << 8 | sym) (GpuANSDecode.cuh:34-41).
