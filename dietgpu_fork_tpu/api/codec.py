@@ -413,6 +413,48 @@ def decompress_data(
     return outs, sizes_np, np.asarray(success), status, temp
 
 
+def decompress_data_device(
+    compress_as_float: bool,
+    comps: Union[Sequence, jax.Array],
+    out_capacity: int,
+    dtype=None,
+    prob_bits: int = DEFAULT_PROB_BITS,
+    sparse: bool = False,
+):
+    """Fully-on-device decompress: returns padded DEVICE rows + per-member
+    sizes with no host round trip, preserving the reference's zero-sync
+    contract (README.md:114) for pipeline composition — callers keep the
+    result on device (e.g. feed it straight into a training step) and
+    consult `sizes`/`success` lazily.
+
+    Returns (words jax.Array[B, W] uint32-packed rows zero-padded past each
+    member's decoded bytes, sizes uint32[B] device array, success bool[B]
+    device array). ``out_capacity`` is one capacity (elements) for all
+    members, as a static padded-row bound.
+    """
+    m = _comp_matrix(comps)
+    B = m.shape[0]
+    if compress_as_float:
+        ft = float_type_of(dtype) if dtype is not None else FloatType(
+            int(np.asarray(float_get_compressed_info(m)[1])[0])
+        )
+        if sparse:
+            words32, success, sizes, _, _ = _jit_sparse_decompress(
+                bitcast_u8_to_u32(m), out_floats=max(out_capacity, 1),
+                float_type=ft, prob_bits=prob_bits, capacities=None,
+                verify_checksum=False)
+        else:
+            words32, success, sizes, _, _ = _jit_float_decompress(
+                bitcast_u8_to_u32(m), jnp.zeros((B,), I32),
+                out_floats=max(out_capacity, 1), float_type=ft,
+                prob_bits=prob_bits, capacities=None, verify_checksum=False)
+        return words32, sizes, success
+    out, success, sizes, _ = _jit_ans_decode(
+        m, out_capacity=max(out_capacity, 1), prob_bits=prob_bits,
+        capacities=None)
+    return out, sizes, success
+
+
 def decompress_data_split_size(
     compress_as_float: bool,
     comps: Union[Sequence, jax.Array],
@@ -448,14 +490,20 @@ def decompress_data_simple(
         if sparse:
             m32 = bitcast_u8_to_u32(m)
             total = np.asarray(m32[:, 0])
-            # dense header sits after the sparse header + bitmap; read via
-            # the first member's layout
+            # the dense header sits after the sparse header + bitmap, whose
+            # size depends on each member's own float count — compute the
+            # offset per member (mirrors DietGpu.cpp:827-917 semantics)
             from ..core.constants import sparse_bitmap_bytes
 
-            off = 16 + sparse_bitmap_bytes(int(total[0]))
-            ftypes = np.asarray(
-                float_get_compressed_info(m[:, off : off + 16])[1]
+            hdrs = np.stack(
+                [
+                    m[i, off : off + 16]
+                    for i, off in enumerate(
+                        16 + sparse_bitmap_bytes(int(t)) for t in total
+                    )
+                ]
             )
+            ftypes = np.asarray(float_get_compressed_info(hdrs)[1])
             sizes = total
         else:
             sizes, ftypes, _ = (

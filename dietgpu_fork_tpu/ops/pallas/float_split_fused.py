@@ -49,18 +49,19 @@ def _hist_accum(plane, acc, first, base_byte, nbytes):
     lane = _lane((R, 128))
     row = jax.lax.broadcasted_iota(I32, (R, 128), 0)
     val = lane >> 3
+    idx0 = (lane & 7) >> 2
+    sh = ((lane & 3) * 8).astype(jnp.uint32)
+    # global byte position of lane's byte at g=0 (advances by 8 per g)
+    pos0 = base_byte + row * 512 + idx0 * 4 + (lane & 3)
 
     @pl.when(first)
     def _():
         acc[...] = jnp.zeros((128, 128), jnp.float32)
 
     def body(g, total):
-        idx = g * 2 + ((lane & 7) >> 2)
-        w = jnp.take_along_axis(plane, idx, axis=1)
-        b = ((w >> ((lane & 3) * 8)) & 0xFF).astype(I32)
-        # global byte position of this lane's byte within the plane
-        pos = base_byte + (row * 128 + idx) * 4 + (lane & 3)
-        b = jnp.where(pos < nbytes, b, 0)
+        w = jnp.take_along_axis(plane, idx0 + 2 * g, axis=1)
+        b = ((w >> sh) & jnp.uint32(0xFF)).astype(I32)
+        b = jnp.where(pos0 + 8 * g < nbytes, b, 0)
         a_hi = jnp.where((b >> 4) == val, 1.0, 0.0).astype(jnp.bfloat16)
         a_lo = jnp.where((b & 0xF) == val, 1.0, 0.0).astype(jnp.bfloat16)
         return total + jax.lax.dot_general(

@@ -267,6 +267,189 @@ def _runs_merge_tpu(src_flat, dst_off, src_off, lens, *, out_len: int):
     return out.reshape(-1)[:out_len]
 
 
+# ---------------------------------------------------------------------------
+# v2 engine: sub-piece splitting + dynamic-row stores
+# ---------------------------------------------------------------------------
+
+_T2 = 32768  # v2 output tile words (128 KiB)
+_T2R = _T2 // 128  # 256 rows
+_SUB = 1280  # max short sub-piece words
+_WIN = 24  # short DMA window rows (3072 >= 1023 + 127 + _SUB)
+_LSUB = 6400  # max long sub-piece words
+_LFR = 52  # long frame rows (52*128 >= 127 + _LSUB)
+_LWIN = 64  # long DMA window rows (8192 >= 1023 + 127 + _LSUB)
+_D2 = 8  # in-flight windows
+
+
+def _merge2_kernel(meta_ref, t_s0_ref, src_ref, out_ref, win, sem_w):
+    t = pl.program_id(0)
+    s0 = t_s0_ref[t]
+    s1 = t_s0_ref[t + 1]
+    out_ref[...] = jnp.zeros((_T2R, 128), U32)
+
+    def piece(s):
+        return (
+            meta_ref[3 * s], meta_ref[3 * s + 1], meta_ref[3 * s + 2]
+        )
+
+    def dma(s, start: bool):
+        _, src, ln = piece(s)
+        row0 = (src // 1024) * 8
+        slot = s % _D2
+
+        def mk(rows):
+            def br():
+                cp = pltpu.make_async_copy(
+                    src_ref.at[pl.ds(row0, rows), :],
+                    win.at[slot, pl.ds(0, rows), :],
+                    sem_w.at[slot],
+                )
+                if start:
+                    cp.start()
+                else:
+                    cp.wait()
+
+            return br
+
+        jax.lax.switch(
+            jnp.where(ln <= 0, 0, jnp.where(ln <= _SUB, 1, 2)),
+            [lambda: None, mk(_WIN), mk(_LWIN)],
+        )
+
+    def prologue(i, _):
+        @pl.when(s0 + i < s1)
+        def _():
+            dma(s0 + i, start=True)
+
+        return 0
+
+    jax.lax.fori_loop(0, _D2, prologue, 0, unroll=False)
+
+    def frame_iota(rows):
+        return (
+            jax.lax.broadcasted_iota(I32, (rows, 128), 0) * 128
+            + jax.lax.broadcasted_iota(I32, (rows, 128), 1)
+        )
+
+    jj_s = frame_iota(12)
+    jj_l = frame_iota(_LFR)
+
+    def place(s, dst, src, ln, rows, wrows, jj):
+        dst_t = dst - t * _T2
+        r0 = jnp.minimum(dst_t >> 7, _T2R - rows)
+        a = dst_t - r0 * 128
+        rel2 = (src - (src // 1024) * 1024) - a
+        d = jnp.where(rel2 > 0, wrows * 128 - rel2, -rel2)
+        rolled = _flat_roll(win[s % _D2, :wrows], d)[:rows]
+        m = (jj >= a) & (jj < a + ln)
+        cur = out_ref[pl.ds(r0, rows), :]
+        out_ref[pl.ds(r0, rows), :] = jnp.where(m, rolled, cur)
+
+    def process(s, _):
+        dst, src, ln = piece(s)
+        dma(s, start=False)
+
+        def short():
+            place(s, dst, src, ln, 12, _WIN, jj_s)
+
+        def longp():
+            place(s, dst, src, ln, _LFR, _LWIN, jj_l)
+
+        jax.lax.switch(
+            jnp.where(ln <= 0, 0, jnp.where(ln <= _SUB, 1, 2)),
+            [lambda: None, short, longp],
+        )
+
+        @pl.when(s + _D2 < s1)
+        def _():
+            dma(s + _D2, start=True)
+
+        return 0
+
+    jax.lax.fori_loop(s0, s1, process, 0, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=("out_len",))
+def _runs_merge_tpu2(src_flat, dst_off, src_off, lens, *, out_len: int):
+    """v2: split runs into <=_SUB-word sub-pieces that never cross a _T2
+    output-tile boundary; each sub-piece is one small aligned DMA window,
+    one flat roll, and one 12-row read-modify-write into the tile — no
+    full-tile masking and no per-piece size switch (v1 cost ~300ns/piece,
+    v2 ~60ns)."""
+    R = dst_off.shape[0]
+    T = -(-out_len // _T2)
+
+    dst_off = jnp.clip(dst_off.astype(I32), 0, T * _T2 - 1)
+    src_off = jnp.clip(src_off.astype(I32), 0, src_flat.shape[0])
+    lens = jnp.clip(
+        lens.astype(I32), 0,
+        jnp.minimum(T * _T2 - dst_off, src_flat.shape[0] - src_off),
+    )
+
+    # split at tile boundaries (breakpoints = run starts U tile starts)
+    tile_starts = jnp.arange(T, dtype=I32) * _T2
+    breaks = jnp.sort(jnp.concatenate([dst_off, tile_starts]))
+    nxt = jnp.concatenate([breaks[1:], jnp.full((1,), T * _T2, I32)])
+    r = jnp.clip(
+        jnp.searchsorted(dst_off, breaks, side="right").astype(I32) - 1,
+        0, R - 1,
+    )
+    dst_end = dst_off[r] + lens[r]
+    valid = (breaks >= dst_off[r]) & (breaks < dst_end)
+    plen = jnp.where(valid, jnp.minimum(nxt, dst_end) - breaks, 0)
+    psrc = jnp.where(valid, src_off[r] + (breaks - dst_off[r]), 0)
+    G = R + T
+
+    # split long pieces at _LSUB-word steps (static slot bound: every
+    # output word belongs to at most one extra sub-piece)
+    R2 = G + out_len // _LSUB
+    nsub = jnp.where(plen > _SUB, -(-plen // _LSUB), 1)
+    ends = jnp.cumsum(nsub)
+    slot = jnp.arange(R2, dtype=I32)
+    p = jnp.clip(
+        jnp.searchsorted(ends, slot, side="right").astype(I32), 0, G - 1
+    )
+    k = (slot - (ends[p] - nsub[p])) * _LSUB
+    live = (k < jnp.maximum(plen[p], 1)) & (k >= 0)
+    koff = jnp.clip(k, 0, jnp.maximum(plen[p] - 1, 0))
+    sdst = breaks[p] + koff
+    ssrc = psrc[p] + koff
+    slen = jnp.where(
+        live, jnp.clip(plen[p] - k, 0, jnp.where(plen[p] > _SUB, _LSUB, _SUB)),
+        0,
+    )
+
+    meta = jnp.stack([sdst, ssrc, slen], axis=1).reshape(-1)
+    t_s0 = jnp.searchsorted(sdst, tile_starts, side="left").astype(I32)
+    t_s0 = jnp.concatenate([t_s0, jnp.full((1,), R2, I32)])
+
+    pad = (-src_flat.shape[0]) % 1024 + _LWIN * 128 + 1024
+    src2d = jnp.pad(src_flat.astype(U32), (0, pad)).reshape(-1, 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (_T2R, 128), lambda t, m_, s_: (t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_D2, _LWIN, 128), U32),
+            pltpu.SemaphoreType.DMA((_D2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _merge2_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T * _T2R, 128), U32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(meta, t_s0, src2d)
+    return out.reshape(-1)[:out_len]
+
+
 @functools.partial(jax.jit, static_argnames=("out_len",))
 def _runs_merge_ref(src_flat, dst_off, src_off, lens, *, out_len: int):
     """Gather formulation (CPU/interpret reference): for each output word,
@@ -299,7 +482,7 @@ def runs_merge(
     Zero-length runs are allowed.
     """
     if jax.default_backend() == "tpu":
-        return _runs_merge_tpu(
+        return _runs_merge_tpu2(
             src_flat, dst_off, src_off, lens, out_len=out_len
         )
     return _runs_merge_ref(src_flat, dst_off, src_off, lens, out_len=out_len)

@@ -57,7 +57,8 @@ F32 = jnp.float32
 
 _UNROLL = 16
 _NJ = STEPS_PER_BLOCK // _UNROLL  # 8
-_REBOUND = 8  # recompute the renorm window every 8 steps
+_REBOUND = 4  # recompute the renorm window every 4 steps
+_FAST = 3  # statically unrolled renorm read chunks (window beyond -> fori)
 
 JOIN_NONE = 0  # emit packed symbol bytes (plain ANS decode)
 JOIN_F16 = 1  # emit (raw | sym<<8) u16 floats
@@ -81,11 +82,11 @@ def _decode_kernel2(
 ):
     if join == JOIN_NONE:
         out_ref = rest[0]
-        states_s, ptr_s = rest[1], rest[2]
+        states_s, ptr_s, w32_s = rest[1], rest[2], rest[3]
         raw_ref = None
     else:
         raw_ref, out_ref = rest[0], rest[1]
-        states_s, ptr_s = rest[2], rest[3]
+        states_s, ptr_s, w32_s = rest[2], rest[3], rest[4]
 
     j = pl.program_id(2)
 
@@ -157,13 +158,27 @@ def _decode_kernel2(
         c2 = gidx >> 5
         lo_c = jnp.maximum((mn - 17 - 16 * du) >> 5, 0)
 
-        def rd(c, w32):
-            g = jnp.take_along_axis(stream_ref[c], lane_t, axis=1)
-            return jnp.where(c2 == c, g, w32)
+        # statically unrolled window read (the common case: end-aligned
+        # staging keeps every block's cursor within a few 32-word chunks);
+        # a dynamic fori tail covers wide windows (mixed-size cells)
+        C2 = SW // 32
+        w32 = jnp.zeros((G4, 128), U32)
+        for t in range(_FAST):
+            ct = jnp.minimum(lo_c + t, C2 - 1)
+            g = jnp.take_along_axis(stream_ref[ct], lane_t, axis=1)
+            w32 = jnp.where(c2 == lo_c + t, g, w32)
+        w32_s[...] = w32
 
-        w32 = jax.lax.fori_loop(
-            lo_c, hi_c + 1, rd, jnp.zeros((G4, 128), U32), unroll=False
-        )
+        @pl.when(hi_c - lo_c >= _FAST)
+        def _():
+            def rd(c, _):
+                g = jnp.take_along_axis(stream_ref[c], lane_t, axis=1)
+                w32_s[...] = jnp.where(c2 == c, g, w32_s[...])
+                return 0
+
+            jax.lax.fori_loop(lo_c + _FAST, hi_c + 1, rd, 0, unroll=False)
+
+        w32 = w32_s[...]
         val = jnp.where(
             (idx16 & 1) == 1, w32 >> U32(16), w32 & U32(0xFFFF)
         )
@@ -183,12 +198,12 @@ def _decode_kernel2(
         return word[:, :32]
 
     words = []
-    for half in range(_UNROLL // _REBOUND):
+    for grp in range(_UNROLL // _REBOUND):
         ptrg = ofs32 + (ptr >> 1)
         hi_c = jnp.max(jnp.where(live, ptrg, 0)) >> 5
         mn = jnp.min(jnp.where(live, ptrg, 2 * SW))
         for du in range(_REBOUND):
-            u = half * _REBOUND + du
+            u = grp * _REBOUND + du
             states, ptr, sym = one_step(
                 j * _UNROLL + u, du, states, ptr, hi_c, mn
             )
@@ -246,8 +261,11 @@ def _decode_kernel2(
 
 
 def _pick_g(NB: int) -> int:
-    if NB >= 512:
-        return 512
+    # G=256 beats 512/1024 on-chip: the renorm window stays narrow (fewer
+    # blocks per cell -> tighter cursor spread for the _FAST path) and the
+    # per-invocation bound reductions stay quarter-size
+    if NB >= 256:
+        return 256
     return max(8, -(-NB // 8) * 8)
 
 
@@ -349,6 +367,7 @@ def decode_blocks_fused2(
         scratch_shapes=[
             pltpu.VMEM((G4, 128), U32),
             pltpu.VMEM((G4, 128), I32),
+            pltpu.VMEM((G4, 128), U32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
@@ -436,6 +455,7 @@ def decode_join16_fused(
         scratch_shapes=[
             pltpu.VMEM((G4, 128), U32),
             pltpu.VMEM((G4, 128), I32),
+            pltpu.VMEM((G4, 128), U32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),

@@ -322,7 +322,7 @@ def encode_blocks_fused(
     x32: uint32[B, NB*1024] packed symbol bytes (zero-padded);
     sizes int32[B] (bytes); packed_table/magic_table: uint32[B, 256].
 
-    Returns (states uint32[B, NB, 32], streams32 uint32[B, NB, SOW+1],
+    Returns (states uint32[B, NB, 32], streams32 uint32[B, NB, SOW],
     num_words int32[B, NB]).
     """
     B, padded_w = x32.shape
@@ -448,8 +448,8 @@ def encode_blocks_fused(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (None, None, G, 128),
-            lambda b, t, c, nw_: (b * cells + t, c, 0, 0),
+            (None, G, 128),
+            lambda b, t, c, nw_: (b * cells + t, 0, c),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -459,16 +459,13 @@ def encode_blocks_fused(
     streams_t = pl.pallas_call(
         functools.partial(_compact_kernel, G=G),
         grid_spec=grid_b,
-        out_shape=jax.ShapeDtypeStruct((B * CELLS, _NCH, G, 128), U32),
+        out_shape=jax.ShapeDtypeStruct((B * CELLS, G, _NCH * 128), U32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
     )(nwmax, words_pb, masks_pb)
 
-    streams32 = streams_t.transpose(0, 2, 1, 3).reshape(
-        B, NBP, _NCH * 128
-    )[:, :NB]
-    streams32 = jnp.pad(streams32, ((0, 0), (0, 0), (0, 1)))
+    streams32 = streams_t.reshape(B, NBP, _NCH * 128)[:, :NB]
 
     # states back to (B, NB, 32): [cell, g4, gb*32+lb] -> [b, nb, 32]
     states = (

@@ -58,8 +58,9 @@ def encode_blocks(
 
     Returns:
       states:    uint32[B, NB, 32]  final per-block interleaved states
-      streams32: uint32[B, NB, MAX_BLOCK_WORDS32 + 1] compressed words,
-                 little-endian u16 pairs (last column is a scatter dump slot)
+      streams32: uint32[B, NB, >=MAX_BLOCK_WORDS32] compressed words,
+                 little-endian u16 pairs (callers read the stride from
+                 shape[2]; the CPU path keeps a trailing scatter-dump slot)
       num_words: int32[B, NB]       emitted uint16 words per block
     """
     if jax.default_backend() == "tpu":

@@ -118,36 +118,129 @@ def compressed_all_gather(
     )(x)
 
 
+def compressed_reduce_scatter(
+    x: jax.Array,
+    mesh: Mesh,
+    axis: str = "data",
+    prob_bits: int = 10,
+    budget_ratio: float = 1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Ring sum-reduce-scatter with compressed payloads.
+
+    ``x``: (ndev, *shape) — one full-size addend per device (sharded on the
+    leading axis). Returns (out, ok) with out sharded (ndev, *chunk_shape):
+    device d's row is the element-wise sum over all devices of chunk d of
+    its addend, where addends are split into ndev equal chunks of their
+    flattened float stream (shape (ndev, n/ndev) floats).
+
+    Each of the ndev ring hops moves ONE compressed chunk per device
+    (ratio * n/ndev floats), so per-device wire bytes are ~ratio * n *
+    (ndev+?)/ndev — INDEPENDENT of device count, unlike a gather-then-sum
+    formulation (the reference names fused compressed all-reduce as its
+    never-landed goal, README.md:123-127). Partial sums are compressed with
+    the same float codec, so the reduction is exact (bit-for-bit the sum
+    order of the ring)."""
+    ft = _ft_of(x.dtype)
+    ndev = mesh.shape[axis]
+    assert x.shape[0] == ndev, "leading dim must equal mesh axis size"
+    n_total = 1
+    for dim in x.shape[1:]:
+        n_total *= dim
+    assert n_total % ndev == 0, "flattened addend must split into ndev chunks"
+    chunk_n = n_total // ndev
+    perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+
+    def fn(local):
+        local = local.reshape(local.shape[1:])
+        flat32, n, w32 = _to_u32(local)
+        chunk_w = w32 // ndev
+        wire_w = _wire_words(chunk_n, ft, budget_ratio)
+        d = jax.lax.axis_index(axis)
+
+        def chunk(idx):
+            return jax.lax.dynamic_slice(flat32, (idx * chunk_w,), (chunk_w,))
+
+        def add_f(a32, b32):
+            fa = _from_u32(a32, local.dtype, (chunk_n,))
+            fb = _from_u32(b32, local.dtype, (chunk_n,))
+            s, _, _ = _to_u32(fa + fb)
+            return s
+
+        def hop(acc32):
+            wire = _encode_wire(acc32, chunk_n, ft, prob_bits, wire_w)
+            moved = jax.lax.ppermute(wire, axis, perm)
+            return _decode_wire(moved, chunk_n, ft, prob_bits, chunk_w)
+
+        def step(s, carry):
+            acc, good = carry
+            dec, ok = hop(acc)
+            nxt = (d - s - 1) % ndev
+            return add_f(dec, chunk(nxt)), good & ok
+
+        acc, good = jax.lax.fori_loop(
+            0, ndev - 1, step,
+            (chunk(d % ndev), jnp.bool_(True)), unroll=False,
+        )
+        # acc now holds the full sum of chunk (d+1)%ndev; one final
+        # compressed hop lands chunk d on device d
+        dec, ok = hop(acc)
+        good = good & ok
+        return (
+            _from_u32(dec, local.dtype, (chunk_n,))[None],
+            good[None],
+        )
+
+    return shard_map(
+        fn, mesh=mesh, in_specs=(P(axis),), out_specs=(P(axis), P(axis))
+    )(x)
+
+
 def compressed_all_reduce(
     x: jax.Array,
     mesh: Mesh,
     axis: str = "data",
     prob_bits: int = 10,
-    budget_ratio: float = 0.85,
-) -> jax.Array:
-    """Sum-all-reduce with compressed all-gather transport. Each device
-    contributes its (replicated-shape) addend; the wire carries compressed
-    archives; every device decompresses and reduces locally."""
+    budget_ratio: float = 1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sum-all-reduce = compressed ring reduce-scatter + compressed
+    all-gather of the reduced chunks. Per-device wire bytes ~2x the
+    compressed addend size, independent of device count (the previous
+    gather-every-archive formulation grew linearly with ndev)."""
     ft = _ft_of(x.dtype)
     ndev = mesh.shape[axis]
+    assert x.shape[0] == ndev, "leading dim must equal mesh axis size"
+    shape = x.shape[1:]
+    n_total = 1
+    for dim in shape:
+        n_total *= dim
+    chunk_n = n_total // ndev
 
-    def fn(local):
-        local = local.reshape(local.shape[1:])  # drop the sharded axis (=1)
-        flat32, n, w32 = _to_u32(local)
-        wire_w = _wire_words(n, ft, budget_ratio)
-        wire = _encode_wire(flat32, n, ft, prob_bits, wire_w)
+    red, good_rs = compressed_reduce_scatter(
+        x, mesh, axis, prob_bits, budget_ratio
+    )
+
+    def gather_fn(local, good_in):
+        flat32, n, w32 = _to_u32(local.reshape(-1))
+        wire_w = _wire_words(chunk_n, ft, budget_ratio)
+        wire = _encode_wire(flat32, chunk_n, ft, prob_bits, wire_w)
         gathered = jax.lax.all_gather(wire, axis)
-        decoded, good = jax.vmap(
-            lambda r: _decode_wire(r, n, ft, prob_bits, w32)
+        decoded, ok = jax.vmap(
+            lambda r: _decode_wire(r, chunk_n, ft, prob_bits, w32)
         )(gathered)
-        terms = jax.vmap(
-            lambda d: _from_u32(d, local.dtype, local.shape)
+        good = jnp.all(ok) & jnp.all(
+            jax.lax.all_gather(good_in.reshape(()), axis)
+        )
+        full = jax.vmap(
+            lambda dw: _from_u32(dw, local.dtype, (chunk_n,))
         )(decoded)
-        return jnp.sum(terms, axis=0)[None], good
+        return full.reshape((1,) + shape), good[None]
 
-    return shard_map(
-        fn, mesh=mesh, in_specs=(P(axis),), out_specs=(P(None), P(None))
-    )(x)
+    out, good = shard_map(
+        gather_fn, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+    )(red, good_rs)
+    # every device computed the same replicated sum; row 0 is the value
+    return out, good
 
 
 def compressed_ppermute(

@@ -116,6 +116,41 @@ def test_sparse_api_roundtrip(rng):
     assert np.array_equal(outs[0].view(np.uint8), w.view(np.uint8))
 
 
+def test_decompress_data_device_stays_on_device(rng):
+    # the zero-sync variant: device rows + device sizes, no host loop
+    import jax
+
+    ts = [normal(rng, n, "float32") for n in (5000, 12345)]
+    comp, sizes, _ = C.compress_data(True, ts)
+    words, nsz, succ = C.decompress_data_device(
+        True, comp, out_capacity=12345, dtype=np.float32
+    )
+    assert isinstance(words, jax.Array) and isinstance(nsz, jax.Array)
+    assert np.array_equal(np.asarray(nsz), [5000, 12345])
+    assert np.all(np.asarray(succ))
+    host = np.asarray(words).view(np.uint8)
+    for i, t in enumerate(ts):
+        assert np.array_equal(
+            host[i, : t.size * 4], t.view(np.uint8)
+        )
+        assert not host[i, t.size * 4 :].any()  # zero padding
+
+
+def test_sparse_simple_mixed_sizes(rng):
+    # heterogeneous member sizes: the dense-header offset (sparse header +
+    # bitmap) differs per member, so decompress_data_simple must compute it
+    # per member rather than from member 0 (DietGpu.cpp:827-917 semantics)
+    ws = []
+    for n in (10000, 257, 40000):
+        w = normal(rng, n, "float32")
+        w[rng.random(n) < 0.5] = 0
+        ws.append(w)
+    arcs = C.compress_data_simple(True, ws, sparse=True)
+    outs = C.decompress_data_simple(True, arcs, sparse=True)
+    for o, w in zip(outs, ws):
+        assert np.array_equal(o.view(np.uint8), w.view(np.uint8))
+
+
 def test_temp_memory_contract(rng):
     # the reference returns a temp-mem high-water mark from every op
     # (DietGpu.cpp:285); ours reports the equivalent estimate

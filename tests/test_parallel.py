@@ -97,13 +97,47 @@ def test_compressed_all_gather_overflow_flagged(rng, mesh):
 def test_compressed_all_reduce(rng, mesh):
     x = jnp.asarray(rng.normal(0, 1, (8, 1, 1024)), jnp.float32)
     got, ok = jax.jit(
-        lambda v: coll.compressed_all_reduce(v, mesh, budget_ratio=0.95)
+        lambda v: coll.compressed_all_reduce(v, mesh)
     )(x)
     assert np.all(np.asarray(ok))
-    want = jnp.sum(x, axis=0)
-    # transport is lossless; only the reduction order may differ between the
-    # two XLA programs, so compare within float tolerance
-    assert np.allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+    assert got.shape == x.shape  # replicated sum, one row per device
+    want = np.asarray(jnp.sum(x, axis=0))
+    # transport is lossless; only the ring's reduction order differs from
+    # jnp.sum's, so compare within float tolerance
+    for d in range(8):
+        assert np.allclose(np.asarray(got)[d], want, rtol=1e-6, atol=1e-6)
+
+
+def test_compressed_reduce_scatter(rng, mesh):
+    n = 4096
+    x = jnp.asarray(rng.normal(0, 1, (8, n)), jnp.float32)
+    got, ok = jax.jit(
+        lambda v: coll.compressed_reduce_scatter(v, mesh)
+    )(x)
+    assert np.all(np.asarray(ok))
+    assert got.shape == (8, n // 8)
+    want = np.asarray(jnp.sum(x, axis=0)).reshape(8, n // 8)
+    assert np.allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+
+
+def test_compressed_reduce_scatter_bf16_exact_vs_ring_order(rng, mesh):
+    # bf16 transport is lossless: re-simulate the ring's exact add order
+    n = 2048
+    x = jnp.asarray(rng.normal(0, 1, (8, n)), jnp.bfloat16)
+    got, ok = jax.jit(
+        lambda v: coll.compressed_reduce_scatter(v, mesh)
+    )(x)
+    assert np.all(np.asarray(ok))
+    xs = np.asarray(x).reshape(8, 8, n // 8)
+    for d in range(8):
+        c = d  # chunk landing on device d
+        order = [(c + i) % 8 for i in range(8)]  # ring add order
+        acc = jnp.asarray(xs[order[0], c])
+        for dev in order[1:]:
+            acc = acc + jnp.asarray(xs[dev, c])
+        assert np.array_equal(
+            np.asarray(got)[d].view(np.uint8), np.asarray(acc).view(np.uint8)
+        )
 
 
 def test_compressed_ppermute(rng, mesh):

@@ -22,17 +22,19 @@ def rng():
 def test_runs_merge_matches_reference(rng):
     from dietgpu_fork_tpu.ops.pallas.merge import (
         _runs_merge_ref,
-        _runs_merge_tpu,
+        _runs_merge_tpu2,
     )
 
     src = jnp.asarray(
         rng.integers(0, 2**32, 1 << 20, dtype=np.uint64).astype(np.uint32)
     )
     lens = (rng.integers(0, 300, 500) * 4).astype(np.int32)
+    lens[7] = 40000  # long-piece class
+    lens[8] = 2000
     dst = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int32)
     srco = (rng.integers(0, 1 << 17, 500) * 4).astype(np.int32)
     out_len = int(dst[-1] + lens[-1]) + 12
-    a = _runs_merge_tpu(
+    a = _runs_merge_tpu2(
         src, jnp.asarray(dst), jnp.asarray(srco), jnp.asarray(lens),
         out_len=out_len,
     )
