@@ -386,30 +386,53 @@ def _runs_merge_tpu2(src_flat, dst_off, src_off, lens, *, out_len: int):
         jnp.minimum(T * _T2 - dst_off, src_flat.shape[0] - src_off),
     )
 
-    # split at tile boundaries (breakpoints = run starts U tile starts)
+    # split at tile boundaries (breakpoints = run starts U tile starts).
+    # NOTE: XLA sort/searchsorted lower to serial gather chains on TPU
+    # (~1 ms at a few thousand runs), so the merged break list is built
+    # with broadcast compare-sums and two scatters instead — both sides
+    # are already sorted.
     tile_starts = jnp.arange(T, dtype=I32) * _T2
-    breaks = jnp.sort(jnp.concatenate([dst_off, tile_starts]))
-    nxt = jnp.concatenate([breaks[1:], jnp.full((1,), T * _T2, I32)])
-    r = jnp.clip(
-        jnp.searchsorted(dst_off, breaks, side="right").astype(I32) - 1,
-        0, R - 1,
+    G = R + T
+    # rank of each dst among tile starts is analytic; rank of each tile
+    # start among (sorted) dst is a compare-sum
+    pos_d = jnp.arange(R, dtype=I32) + (dst_off // _T2) + 1
+    cmp = dst_off[None, :] <= tile_starts[:, None]  # (T, R)
+    d_leq_tile = jnp.sum(cmp, axis=1).astype(I32)
+    d_lt_tile = jnp.sum(
+        dst_off[None, :] < tile_starts[:, None], axis=1
+    ).astype(I32)
+    pos_t = jnp.arange(T, dtype=I32) + d_lt_tile
+    breaks = (
+        jnp.zeros((G,), I32).at[pos_d].set(dst_off).at[pos_t].set(tile_starts)
     )
+    # owning run r: for a dst break it is the run itself; for a tile start
+    # it is the last run with dst <= it (duplicate-dst runs only occur at
+    # zero length, which the validity test below discards)
+    r = (
+        jnp.zeros((G,), I32)
+        .at[pos_d]
+        .set(jnp.arange(R, dtype=I32))
+        .at[pos_t]
+        .set(jnp.clip(d_leq_tile - 1, 0, R - 1))
+    )
+    nxt = jnp.concatenate([breaks[1:], jnp.full((1,), T * _T2, I32)])
     dst_end = dst_off[r] + lens[r]
     valid = (breaks >= dst_off[r]) & (breaks < dst_end)
     plen = jnp.where(valid, jnp.minimum(nxt, dst_end) - breaks, 0)
     psrc = jnp.where(valid, src_off[r] + (breaks - dst_off[r]), 0)
-    G = R + T
 
     # split long pieces at _LSUB-word steps (static slot bound: every
-    # output word belongs to at most one extra sub-piece)
+    # output word belongs to at most one extra sub-piece). The slot->piece
+    # map p[slot] = #{ends <= slot} is a scatter-add + cumsum, not a
+    # searchsorted.
     R2 = G + out_len // _LSUB
     nsub = jnp.where(plen > _SUB, -(-plen // _LSUB), 1)
     ends = jnp.cumsum(nsub)
-    slot = jnp.arange(R2, dtype=I32)
-    p = jnp.clip(
-        jnp.searchsorted(ends, slot, side="right").astype(I32), 0, G - 1
+    z = jnp.zeros((R2,), I32).at[jnp.clip(ends, 0, R2 - 1)].add(
+        jnp.where(ends < R2, 1, 0)
     )
-    k = (slot - (ends[p] - nsub[p])) * _LSUB
+    p = jnp.clip(jnp.cumsum(z), 0, G - 1)
+    k = (jnp.arange(R2, dtype=I32) - (ends[p] - nsub[p])) * _LSUB
     live = (k < jnp.maximum(plen[p], 1)) & (k >= 0)
     koff = jnp.clip(k, 0, jnp.maximum(plen[p] - 1, 0))
     sdst = breaks[p] + koff
@@ -420,7 +443,9 @@ def _runs_merge_tpu2(src_flat, dst_off, src_off, lens, *, out_len: int):
     )
 
     meta = jnp.stack([sdst, ssrc, slen], axis=1).reshape(-1)
-    t_s0 = jnp.searchsorted(sdst, tile_starts, side="left").astype(I32)
+    t_s0 = jnp.sum(
+        sdst[None, :] < tile_starts[:, None], axis=1
+    ).astype(I32)
     t_s0 = jnp.concatenate([t_s0, jnp.full((1,), R2, I32)])
 
     pad = (-src_flat.shape[0]) % 1024 + _LWIN * 128 + 1024

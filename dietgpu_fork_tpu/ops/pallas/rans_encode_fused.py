@@ -198,18 +198,24 @@ def _encode_kernel(
     states_s[...] = states
     nw_s[...] = nw
 
-    # block-major words, packed two u16 per lane: slab gb gets its 16
-    # steps' 16-lane pair strips (halves phase-B staging and gather width)
+    # words staged CHUNK-major, packed two u16 per lane: this invocation's
+    # 16 steps form two 8-step chunks so phase B can index chunks on a
+    # leading ref dim (dynamic lane slicing is not a thing on TPU)
     pk_idx = ((lane >> 4) * 32 + 2 * (lane & 15)) & 127  # lanes >=64 unused
     packed_out = []
     for wo in words_out:
         e = jnp.take_along_axis(wo, pk_idx, axis=1)
         o = jnp.take_along_axis(wo, pk_idx + 1, axis=1)
         packed_out.append(e | (o << U32(16)))
-    for q in range(4):
-        out_w_ref[:, q, :] = jnp.concatenate(
-            [pw[:, q * 16 : (q + 1) * 16] for pw in packed_out], axis=1
-        )
+    for half in range(2):
+        for q in range(4):
+            out_w_ref[half, :, q, :] = jnp.concatenate(
+                [
+                    pw[:, q * 16 : (q + 1) * 16]
+                    for pw in packed_out[half * 8 : half * 8 + 8]
+                ],
+                axis=1,
+            )
     # one mask lane per (block, step): lanes 0..15 = (step u, group g).
     # Mosaic's lane gather needs idx shape == operand shape, so gather
     # full-width with idx lane*32 mod 128 (lanes 0..3 = group starts) and
@@ -250,8 +256,12 @@ def _rank_select32(m: jax.Array, r: jax.Array) -> jax.Array:
 
 
 def _compact_kernel(
-    nwmax_ref, words_ref, masks_ref, out_ref, csum_s, *, G: int,
+    nwmax_ref, words_ref, masks_ref, out_ref, csum_s, nes_s, ws, *, G: int,
 ):
+    """Phase B v2: ONE binary search per u16 PAIR (the odd word's step is
+    the even word's step or the next emitting step, a precomputed suffix-
+    min), and the staged-value gather scans a small adaptive chunk window
+    (chunks on a leading ref dim) instead of all 16 chunks."""
     cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
     ch = pl.program_id(2)
     lane = jax.lax.broadcasted_iota(I32, (G, 128), 1)
@@ -264,44 +274,84 @@ def _compact_kernel(
             shifted = pltpu.roll(incl, k, 1)
             incl = incl + jnp.where(lane >= k, shifted, 0)
         csum_s[...] = incl - counts  # exclusive cumsum of per-step counts
+        # next emitting step (exclusive suffix-min of steps with count>0)
+        e = jnp.where(counts > 0, lane, 999)
+        x = jnp.where(lane == 127, 999, pltpu.roll(e, 127, 1))
+        for k in (1, 2, 4, 8, 16, 32, 64):
+            sh = pltpu.roll(x, 128 - k, 1)
+            x = jnp.minimum(x, jnp.where(lane < 128 - k, sh, 999))
+        nes_s[...] = x
 
     base = ch * 256  # first u16 index of this chunk (128 u32 words)
 
     @pl.when(base < nwmax_ref[cell])
     def _():
         csum = csum_s[...]
+        nes = nes_s[...]
         masks = masks_ref[...]
         nw = csum[:, 127:128] + _popcount32(masks[:, 127:128])
 
-        def u16_value(widx):
-            """widx: (G,128) u16 stream indices -> values."""
-            # step = last s with csum[s] <= widx (7-step binary search)
-            lo = jnp.zeros((G, 128), I32)
-            for w in (64, 32, 16, 8, 4, 2, 1):
-                mid = lo + w
-                probe = jnp.take_along_axis(csum, jnp.minimum(mid, 127), axis=1)
-                lo = jnp.where(probe <= widx, jnp.minimum(mid, 127), lo)
-            s = lo
-            cs = jnp.take_along_axis(csum, s, axis=1)
-            m = jnp.take_along_axis(masks, s, axis=1)
-            lb = _rank_select32(m, widx - cs)
-            flat = s * 32 + lb  # position in the dense (128, 32) grid
-            half = flat & 1
-            flat2 = flat >> 1  # staged pair-word index (128 x 16 grid)
-            f_lane = flat2 & 127
-            f_chunk = flat2 >> 7
-            val = jnp.zeros((G, 128), U32)
-            for c in range(16):
-                g = jnp.take_along_axis(
-                    words_ref[:, c * 128 : (c + 1) * 128], f_lane, axis=1
-                )
-                val = jnp.where(f_chunk == c, g, val)
-            val = jnp.where(half == 1, val >> U32(16), val & U32(0xFFFF))
-            return jnp.where(widx < nw, val, U32(0))
-
         w0 = base + lane * 2
-        lo16 = u16_value(w0)
-        hi16 = u16_value(w0 + 1)
+        # step of the even u16 = last s with csum[s] <= w0
+        lo = jnp.zeros((G, 128), I32)
+        for w in (64, 32, 16, 8, 4, 2, 1):
+            mid = jnp.minimum(lo + w, 127)
+            probe = jnp.take_along_axis(csum, mid, axis=1)
+            lo = jnp.where(probe <= w0, mid, lo)
+        s0 = lo
+        cs0 = jnp.take_along_axis(csum, s0, axis=1)
+        m0 = jnp.take_along_axis(masks, s0, axis=1)
+        r0 = w0 - cs0
+        lb0 = _rank_select32(m0, r0)
+        cnt0 = _popcount32(m0)
+
+        same = (r0 + 1) < cnt0
+        s1 = jnp.where(
+            same, s0,
+            jnp.minimum(jnp.take_along_axis(nes, s0, axis=1), 127),
+        )
+        cs1 = jnp.where(same, cs0, jnp.take_along_axis(csum, s1, axis=1))
+        m1 = jnp.where(same, m0, jnp.take_along_axis(masks, s1, axis=1))
+        lb1 = _rank_select32(m1, w0 + 1 - cs1)
+
+        flat0 = s0 * 32 + lb0
+        flat1 = s1 * 32 + lb1
+        valid0 = w0 < nw
+        valid1 = (w0 + 1) < nw
+        fc0 = flat0 >> 8
+        fc1 = flat1 >> 8
+        c_lo = jnp.minimum(
+            jnp.min(jnp.where(valid0, fc0, 15)),
+            jnp.min(jnp.where(valid1, fc1, 15)),
+        )
+        c_hi = jnp.maximum(
+            jnp.max(jnp.where(valid0, fc0, 0)),
+            jnp.max(jnp.where(valid1, fc1, 0)),
+        )
+
+        def fetch(flat, fchunk):
+            fl = (flat >> 1) & 127
+            w32 = jnp.zeros((G, 128), U32)
+            for t in range(8):
+                c = jnp.minimum(c_lo + t, 15)
+                g = jnp.take_along_axis(words_ref[c], fl, axis=1)
+                w32 = jnp.where(fchunk == c_lo + t, g, w32)
+            ws[...] = w32
+
+            @pl.when(c_hi - c_lo >= 8)
+            def _():
+                def rd(c, _):
+                    g = jnp.take_along_axis(words_ref[c], fl, axis=1)
+                    ws[...] = jnp.where(fchunk == c, g, ws[...])
+                    return 0
+
+                jax.lax.fori_loop(c_lo + 8, c_hi + 1, rd, 0, unroll=False)
+
+            v = ws[...]
+            return jnp.where((flat & 1) == 1, v >> U32(16), v & U32(0xFFFF))
+
+        lo16 = jnp.where(valid0, fetch(flat0, fc0), U32(0))
+        hi16 = jnp.where(valid1, fetch(flat1, fc1), U32(0))
         out_ref[...] = lo16 | (hi16 << U32(16))
 
     @pl.when(base >= nwmax_ref[cell])
@@ -384,8 +434,8 @@ def encode_blocks_fused(
         ],
         out_specs=[
             pl.BlockSpec(
-                (None, G4, 4, _UNROLL * 16),
-                lambda b, t, j: (b * cells + t, 0, 0, j),
+                (None, 2, G4, 4, 128),
+                lambda b, t, j: (b * cells + t, j, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -404,7 +454,7 @@ def encode_blocks_fused(
         ],
         out_shape=[
             jax.ShapeDtypeStruct(
-                (B * CELLS, G4, 4, _NJ * _UNROLL * 16), U32
+                (B * CELLS, 2 * _NJ, G4, 4, 128), U32
             ),
             jax.ShapeDtypeStruct((B * CELLS, _NJ, G4, _UNROLL * 4), U32),
             jax.ShapeDtypeStruct((B * CELLS, G4, 128), U32),
@@ -419,9 +469,8 @@ def encode_blocks_fused(
         ),
     )(sym, vn, tab2, mag2)
 
-    # phase-A words are already block-major u16 pairs:
-    # [cell, g4, gb, step*16 + lb/2]
-    words_pb = words_d.reshape(B * CELLS, G, STEPS_PER_BLOCK * 16)
+    # phase-A words are chunk-major u16 pairs: [cell, chunk, g, lane]
+    words_pb = words_d.reshape(B * CELLS, 16, G, 128)
     # masks: [cell, j, g4, u*4 + gb] -> [cell, g, 128 steps] (tiny array)
     masks_pb = (
         masks_d.reshape(B * CELLS, _NJ, G4, _UNROLL, 4)
@@ -437,8 +486,8 @@ def encode_blocks_fused(
         grid=(B, CELLS, _NCH),
         in_specs=[
             pl.BlockSpec(
-                (None, G, STEPS_PER_BLOCK * 16),
-                lambda b, t, c, nw_: (b * cells + t, 0, 0),
+                (None, 16, G, 128),
+                lambda b, t, c, nw_: (b * cells + t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -454,6 +503,8 @@ def encode_blocks_fused(
         ),
         scratch_shapes=[
             pltpu.VMEM((G, 128), I32),
+            pltpu.VMEM((G, 128), I32),
+            pltpu.VMEM((G, 128), U32),
         ],
     )
     streams_t = pl.pallas_call(

@@ -137,11 +137,14 @@ def build_decode_tables_split(
     bounds = jnp.cumsum(pdf.astype(I32), axis=1)  # inclusive
     slots = jnp.arange(nbuckets, dtype=I32)
 
-    def one(bounds_row):
-        sym = jnp.searchsorted(bounds_row, slots, side="right").astype(I32)
-        return jnp.minimum(sym, NUM_SYMBOLS - 1)
-
-    sym = jax.vmap(one)(bounds).astype(U32)
+    # slot's symbol = #{bounds <= slot}; a broadcast compare-sum (XLA
+    # searchsorted lowers to serial gather chains on TPU)
+    sym = jnp.minimum(
+        jnp.sum(
+            bounds[:, None, :] <= slots[None, :, None], axis=2, dtype=I32
+        ),
+        NUM_SYMBOLS - 1,
+    ).astype(U32)
     s = sym.reshape(pdf.shape[0], nbuckets // 4, 4)
     sym4 = (
         s[:, :, 0] | (s[:, :, 1] << u32(8)) | (s[:, :, 2] << u32(16))
