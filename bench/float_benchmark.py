@@ -87,7 +87,12 @@ def bench_one(ft, n, prob_bits):
     def p_dec(c, out, i):
         return c.at[:, -1:].set(out[0][:, :1] + jnp.uint32(i))
 
-    iters = min(64, max(ITERS, (1 << 24) // max(n, 1) + 1))
+    # big inputs: per-call time dwarfs dispatch noise, and an unrolled
+    # 6-deep 100M-float chain is brutal to compile — use a 2-chain
+    iters = (
+        2 if n >= (1 << 25)
+        else min(64, max(ITERS, (1 << 24) // max(n, 1) + 1))
+    )
     def t_of(f1, fk):
         fence(f1()); fence(fk())
         t1s, tks = [], []

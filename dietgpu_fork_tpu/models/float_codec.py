@@ -95,13 +95,8 @@ def float_compress_core(
     ws = FLOAT_WORD_SIZE[ft]
     n = n.astype(I32)
 
-    csum = (
-        checksum_packed(data32, n * ws)
-        if use_checksum
-        else jnp.zeros((B,), U32)
-    )
-
-    comp_planes, noncomp, hists = split_hist_packed(data32, n, ft)
+    comp_planes, noncomp, hists, csum_f = split_hist_packed(data32, n, ft)
+    csum = csum_f if use_checksum else jnp.zeros((B,), U32)
 
     # ANS-encode each exponent plane (independent archives; fp64 has two —
     # RUN_ANS, GpuFloatCompress.cuh:807-869). One exponent byte per float

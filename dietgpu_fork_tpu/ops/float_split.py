@@ -118,19 +118,27 @@ def _b(x, k):
 
 def split_hist_packed(data32: jax.Array, n_floats: jax.Array,
                       float_type: FloatType):
-    """split_packed plus per-exponent-plane byte histograms (fused into the
-    split pass on TPU, like the reference's splitFloat+histogram;
-    GpuFloatCompress.cuh:423-551). Returns (comp_planes, raw_sections,
-    hists) with hists uint32[B, 256] over the first n_floats bytes."""
+    """split_packed plus per-exponent-plane byte histograms and the input
+    byte checksum (all fused into the split pass on TPU, like the
+    reference's splitFloat+histogram+checksum;
+    GpuFloatCompress.cuh:423-551, 702-710). Returns (comp_planes,
+    raw_sections, hists, csum) with hists uint32[B, 256] over the first
+    n_floats bytes and csum uint32[B]."""
+    ft = FloatType(float_type)
     if jax.default_backend() == "tpu":
         from .pallas.float_split_fused import split_hist_packed_tpu
 
-        return split_hist_packed_tpu(data32, n_floats, FloatType(float_type))
+        return split_hist_packed_tpu(data32, n_floats, ft)
+    from ..core.constants import FLOAT_WORD_SIZE
+    from .checksum import checksum_packed
     from .histogram import histogram_packed
 
-    comp, raw = split_packed(data32, float_type)
+    comp, raw = split_packed(data32, ft)
     hists = [histogram_packed(p, n_floats) for p in comp]
-    return comp, raw, hists
+    csum = checksum_packed(
+        data32, n_floats.astype(jnp.int32) * FLOAT_WORD_SIZE[ft]
+    )
+    return comp, raw, hists, csum
 
 
 def join_packed(

@@ -76,6 +76,42 @@ def _hist_accum(plane, acc, first, base_byte, nbytes):
     acc[...] = acc[...] + total
 
 
+def _xor_accum(x_ref, accx, first, base_word, nbytes):
+    """XOR-accumulate the cell's (masked) input words into a (8,128) u32
+    scratch — the compress-side checksum fused into the split pass, as the
+    reference fuses checksumBatch into splitFloat (GpuFloatCompress.cuh:
+    702-710). Host wrapper folds members' accumulators to byte checksums.
+    The per-byte tail mask is only computed for the cell containing the
+    member's last byte."""
+    x = x_ref[...]
+    sh = x.shape
+    R = sh[0] * sh[1]
+    x = x.reshape(R, 128)
+
+    @pl.when(first)
+    def _():
+        accx[...] = jnp.zeros((8, 128), U32)
+
+    cell_words = R * 128
+
+    def masked():
+        row = jax.lax.broadcasted_iota(I32, (R, 128), 0)
+        widx = base_word + row * 128 + _lane((R, 128))
+        c = jnp.clip(nbytes - 4 * widx, 0, 4).astype(U32)
+        mb = jnp.where(
+            c >= 4, U32(0xFFFFFFFF), (U32(1) << (U32(8) * c)) - U32(1)
+        )
+        return x & mb
+
+    xm = jax.lax.cond(
+        base_word + cell_words > (nbytes + 3) // 4, masked, lambda: x
+    )
+    while xm.shape[0] > 8:
+        h = xm.shape[0] // 2
+        xm = xm[:h] ^ xm[h:]
+    accx[...] = accx[...] ^ xm
+
+
 def _gsel(slabs, flat_lane_idx, sel):
     """value[r, l] = slabs[sel[r,l]][r, flat_lane_idx[r,l] & 127]."""
     idx = flat_lane_idx & 127
@@ -158,31 +194,48 @@ def _finish_hist(plane_ref, n_ref, hist_ref, acc):
         hist_ref[...] = acc[...]
 
 
-def _split16_hist_kernel(n_ref, x_ref, exp_ref, raw_ref, hist_ref, acc,
-                         *, rotate: bool):
+def _split16_hist_kernel(n_ref, x_ref, exp_ref, raw_ref, hist_ref, cs_ref,
+                         acc, accx, *, rotate: bool, ws: int):
     _split16_kernel(x_ref, exp_ref, raw_ref, rotate=rotate)
     _finish_hist(exp_ref, n_ref, hist_ref, acc)
+    _finish_csum(x_ref, n_ref, cs_ref, accx, ws)
+
+
+def _finish_csum(x_ref, n_ref, cs_ref, accx, ws):
+    t = pl.program_id(1)
+    _xor_accum(
+        x_ref, accx, t == 0, t * _ROWS * 128,
+        n_ref[pl.program_id(0)] * ws,
+    )
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        cs_ref[...] = accx[...]
 
 
 def _split32_hist_kernel(n_ref, x_ref, exp_ref, sec1_ref, sec2_ref,
-                         hist_ref, acc):
+                         hist_ref, cs_ref, acc, accx):
     _split32_kernel(x_ref, exp_ref, sec1_ref, sec2_ref)
     _finish_hist(exp_ref, n_ref, hist_ref, acc)
+    _finish_csum(x_ref, n_ref, cs_ref, accx, 4)
 
 
 def _split64_hist_kernel(n_ref, x_ref, exp0_ref, exp1_ref, sec1_ref,
-                         sec2_ref, hist0_ref, hist1_ref, acc0, acc1):
+                         sec2_ref, hist0_ref, hist1_ref, cs_ref,
+                         acc0, acc1, accx):
     _split64_kernel(x_ref, exp0_ref, exp1_ref, sec1_ref, sec2_ref)
     t = pl.program_id(1)
     R = exp0_ref.shape[0]
     n = n_ref[pl.program_id(0)]
     _hist_accum(exp0_ref[...], acc0, t == 0, t * R * 512, n)
     _hist_accum(exp1_ref[...], acc1, t == 0, t * R * 512, n)
+    _xor_accum(x_ref, accx, t == 0, t * _ROWS * 128, n * 8)
 
     @pl.when(t == pl.num_programs(1) - 1)
     def _():
         hist0_ref[...] = acc0[...]
         hist1_ref[...] = acc1[...]
+        cs_ref[...] = accx[...]
 
 
 def _split32_kernel(x_ref, exp_ref, sec1_ref, sec2_ref):
@@ -401,11 +454,21 @@ def split_packed_tpu(data32, float_type: FloatType):
     raise ValueError(ft)
 
 
+def _fold_csum(cs):
+    """(B, 8, 128) xor partials -> uint32[B] byte checksums."""
+    w = jax.lax.reduce(
+        cs.reshape(cs.shape[0], -1), U32(0), jax.lax.bitwise_xor, (1,)
+    )
+    w = w ^ (w >> U32(16))
+    return (w ^ (w >> U32(8))) & U32(0xFF)
+
+
 @functools.partial(jax.jit, static_argnames=("float_type",))
 def split_hist_packed_tpu(data32, n_floats, float_type: FloatType):
-    """Fused split + per-plane exponent histograms (the reference's
-    splitFloat+histogram fusion). Returns (comp_planes, raw_sections,
-    hists) with hists uint32[B, 256] masked to n_floats bytes per plane."""
+    """Fused split + per-plane exponent histograms + input checksum (the
+    reference's splitFloat+histogram+checksum fusion). Returns
+    (comp_planes, raw_sections, hists, csum) with hists uint32[B, 256]
+    masked to n_floats bytes per plane and csum uint32[B] byte XOR."""
     from .histogram_mxu import _extract
 
     ft = FloatType(float_type)
@@ -415,6 +478,11 @@ def split_hist_packed_tpu(data32, n_floats, float_type: FloatType):
     R4 = _ROWS // 4
     R8 = _ROWS // 8
     n32 = n_floats.astype(I32)
+    cs_spec = pl.BlockSpec(
+        (None, 8, 128), lambda b, t, n_: (b, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    cs_shape = jax.ShapeDtypeStruct((B, 8, 128), U32)
 
     def out2(r):
         return pl.BlockSpec(
@@ -444,18 +512,21 @@ def split_hist_packed_tpu(data32, n_floats, float_type: FloatType):
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(B, T),
             in_specs=[spec_in],
-            out_specs=[out2(R2), out2(R2), hist_spec],
-            scratch_shapes=[pltpu.VMEM((128, 128), jnp.float32)],
+            out_specs=[out2(R2), out2(R2), hist_spec, cs_spec],
+            scratch_shapes=[
+                pltpu.VMEM((128, 128), jnp.float32),
+                pltpu.VMEM((8, 128), U32),
+            ],
         )
-        exp, raw, p = pl.pallas_call(
+        exp, raw, p, cs = pl.pallas_call(
             functools.partial(
-                _split16_hist_kernel, rotate=ft == FloatType.BFLOAT16
+                _split16_hist_kernel, rotate=ft == FloatType.BFLOAT16, ws=2
             ),
             grid_spec=gs,
             out_shape=[
                 jax.ShapeDtypeStruct((C, R2, 128), U32),
                 jax.ShapeDtypeStruct((C, R2, 128), U32),
-                hist_shape,
+                hist_shape, cs_shape,
             ],
         )(n32, x)
         hist = _extract(p, B, plane_bytes, n32)
@@ -464,23 +535,27 @@ def split_hist_packed_tpu(data32, n_floats, float_type: FloatType):
             [exp.reshape(B, -1)[:, :W2]],
             [raw.reshape(B, -1)[:, :W2]],
             [hist],
+            _fold_csum(cs),
         )
     if ft == FloatType.FLOAT32:
         plane_bytes = T * R4 * 512
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(B, T),
             in_specs=[out3(R4, 4)],
-            out_specs=[out2(R4), out3(R4, 2), out2(R4), hist_spec],
-            scratch_shapes=[pltpu.VMEM((128, 128), jnp.float32)],
+            out_specs=[out2(R4), out3(R4, 2), out2(R4), hist_spec, cs_spec],
+            scratch_shapes=[
+                pltpu.VMEM((128, 128), jnp.float32),
+                pltpu.VMEM((8, 128), U32),
+            ],
         )
-        exp, sec1, sec2, p = pl.pallas_call(
+        exp, sec1, sec2, p, cs = pl.pallas_call(
             _split32_hist_kernel,
             grid_spec=gs,
             out_shape=[
                 jax.ShapeDtypeStruct((C, R4, 128), U32),
                 jax.ShapeDtypeStruct((C, R4, 2, 128), U32),
                 jax.ShapeDtypeStruct((C, R4, 128), U32),
-                hist_shape,
+                hist_shape, cs_shape,
             ],
         )(n32, x.reshape(C, R4, 4, 128))
         hist = _extract(p, B, plane_bytes, n32)
@@ -489,6 +564,7 @@ def split_hist_packed_tpu(data32, n_floats, float_type: FloatType):
             [sec1.reshape(B, -1)[:, : W // 2],
              sec2.reshape(B, -1)[:, : W // 4]],
             [hist],
+            _fold_csum(cs),
         )
     if ft == FloatType.FLOAT64:
         plane_bytes = T * R8 * 512
@@ -497,14 +573,15 @@ def split_hist_packed_tpu(data32, n_floats, float_type: FloatType):
             in_specs=[spec_in],
             out_specs=[
                 out2(R8), out2(R8), out2(R2), out2(R4),
-                hist_spec, hist_spec,
+                hist_spec, hist_spec, cs_spec,
             ],
             scratch_shapes=[
                 pltpu.VMEM((128, 128), jnp.float32),
                 pltpu.VMEM((128, 128), jnp.float32),
+                pltpu.VMEM((8, 128), U32),
             ],
         )
-        exp0, exp1, sec1, sec2, p0, p1 = pl.pallas_call(
+        exp0, exp1, sec1, sec2, p0, p1, cs = pl.pallas_call(
             _split64_hist_kernel,
             grid_spec=gs,
             out_shape=[
@@ -512,7 +589,7 @@ def split_hist_packed_tpu(data32, n_floats, float_type: FloatType):
                 jax.ShapeDtypeStruct((C, R8, 128), U32),
                 jax.ShapeDtypeStruct((C, R2, 128), U32),
                 jax.ShapeDtypeStruct((C, R4, 128), U32),
-                hist_shape, hist_shape,
+                hist_shape, hist_shape, cs_shape,
             ],
         )(n32, x)
         h0 = _extract(p0, B, plane_bytes, n32)
@@ -523,6 +600,7 @@ def split_hist_packed_tpu(data32, n_floats, float_type: FloatType):
             [sec1.reshape(B, -1)[:, : W // 2],
              sec2.reshape(B, -1)[:, : W // 4]],
             [h0, h1],
+            _fold_csum(cs),
         )
     raise ValueError(ft)
 

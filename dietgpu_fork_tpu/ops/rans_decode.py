@@ -56,12 +56,10 @@ def decode_blocks(
 
     Returns out: uint32[B, NB, 1024] packed decoded bytes (little-endian).
     """
-    if jax.default_backend() == "tpu":
-        from .pallas.rans_decode_fused import decode_blocks_fused
-
-        return decode_blocks_fused(
-            streams32, comp_words, uncomp_words, states, lut, prob_bits
-        )
+    # NOTE: this is the PORTABLE formulation (the CPU test backend and the
+    # bit-exactness reference). The TPU pipeline does not call it:
+    # models/ans.py stages streams end-aligned and drives the Pallas v2
+    # kernel (ops/pallas/rans_decode_fused2.py) directly.
 
     from .pallas.lookup import chunked_lookup, rowwise_lookup
 

@@ -51,7 +51,7 @@ def main():
     data32 = jnp.asarray(w.view(np.uint32).reshape(1, -1))
     sizes = jnp.array([N], jnp.int32)
 
-    planes, noncomp, hists = jax.jit(functools.partial(
+    planes, noncomp, hists, _cs = jax.jit(functools.partial(
         split_hist_packed, float_type=FloatType.BFLOAT16))(data32, sizes)
     plane = jnp.asarray(np.asarray(planes[0]))
     hist = jnp.asarray(np.asarray(hists[0]))
