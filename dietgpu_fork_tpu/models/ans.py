@@ -390,6 +390,38 @@ def ans_decode_join16_core(
     return out32, success, n.astype(U32), csum
 
 
+def ans_decode_join32_core(
+    comp32: jax.Array,
+    base32: jax.Array,
+    sec1_32: jax.Array,
+    sec2_32: jax.Array,
+    out_floats: int,
+    prob_bits: int,
+    capacities: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """TPU-only fused ANS-decode + fp32 join (reference RUN_FUSED for
+    kFloat32). sec1_32/sec2_32: block-major raw sections
+    (uint32[B, NB, 2048] low-u16 pairs / [B, NB, 1024] third bytes).
+    Returns (words32, success, n, csum) masked to the decoded floats."""
+    from ..ops.pallas.rans_decode_fused2 import decode_join32_fused
+    from ..ops.table import build_decode_tables_split
+
+    B = comp32.shape[0]
+    streams, comp_w, uncomp_w, states, pdf, success, n, csum, NB = (
+        _ans_parse_and_stage(comp32, base32, out_floats, capacities)
+    )
+    sym4, symtab = build_decode_tables_split(pdf, prob_bits)
+    out_fw = decode_join32_fused(
+        streams, comp_w, uncomp_w, states, sym4, symtab, sec1_32, sec2_32,
+        prob_bits,
+    )
+    OW = -(-(4 * out_floats) // 4)
+    out32 = out_fw.reshape(B, NB * 4 * (BLOCK_SIZE // 4))[:, :OW]
+    nbytes = jnp.where(success, 4 * n, 0)
+    out32 = mask_packed_bytes(out32, nbytes)
+    return out32, success, n.astype(U32), csum
+
+
 def ans_decode_padded(
     comp_u8: jax.Array,
     out_capacity: int,

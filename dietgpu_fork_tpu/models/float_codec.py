@@ -43,6 +43,10 @@ U8 = jnp.uint8
 
 _FLOAT_MAGIC_VERSION = (0xF00F << 16) | 0x0001
 
+import os as _os
+
+_FUSED_F32 = _os.environ.get("DIETTPU_FUSED_F32") == "1"
+
 
 def _floats_capacity(W32: int, ft: FloatType) -> int:
     ws = FLOAT_WORD_SIZE[ft]
@@ -250,6 +254,52 @@ def float_decompress_core(
         words32, ok, psize, _ = ans_decode_join16_core(
             comp32, ans_base0, raw32, out_floats, prob_bits,
             ft == FloatType.BFLOAT16, capacities,
+        )
+        success = success & ok & (psize.astype(I32) == n)
+        words32 = mask_packed_bytes(
+            words32, jnp.where(success, n, 0) * ws
+        )
+        csum_got = (
+            checksum_packed(words32, n * ws)
+            if verify_checksum
+            else jnp.zeros((B,), U32)
+        )
+        return words32, success, n.astype(U32), csum_arch, csum_got
+
+    if (
+        ft == FloatType.FLOAT32
+        and jax.default_backend() == "tpu"
+        and _FUSED_F32
+    ):
+        # fused decode+join for fp32: both raw sections staged block-major
+        # (2048 low-u16-pair words + 1024 third-byte words per 4096-float
+        # ANS block) and the decoder emits final fp32 words. OFF by
+        # default: measured 6.3 ms vs ~4.5 ms two-pass at 16Mi floats —
+        # the per-step raw-section lane slicing relayouts cost more than
+        # the join pass it saves (unlike fp16/bf16, where symbol and raw
+        # words line up 1:1 and the join is an epilogue interleave).
+        # Validated bit-exact (scratch/val_join32.py); enable with
+        # DIETTPU_FUSED_F32=1.
+        from ..ops.pallas.merge import runs_merge
+        from .ans import ans_decode_join32_core
+
+        NB = max(1, -(-out_floats // BLOCK_SIZE))
+        b_ar = jnp.arange(B, dtype=I32)
+        abs_base = b_ar * CW + base32
+        flat = comp32.reshape(-1)
+        L1 = NB * 2048
+        L2 = NB * 1024
+        dst = jnp.concatenate([b_ar * L1, B * L1 + b_ar * L2])
+        src = jnp.concatenate([abs_base + 8, abs_base + 8 + s1w])
+        lens = jnp.concatenate(
+            [jnp.minimum(s1w, L1), jnp.minimum(s2w, L2)]
+        )
+        stage = runs_merge(flat, dst, src, lens, B * (L1 + L2))
+        sec1b = stage[: B * L1].reshape(B, NB, 2048)
+        sec2b = stage[B * L1 :].reshape(B, NB, 1024)
+        words32, ok, psize, _ = ans_decode_join32_core(
+            comp32, ans_base0, sec1b, sec2b, out_floats, prob_bits,
+            capacities,
         )
         success = success & ok & (psize.astype(I32) == n)
         words32 = mask_packed_bytes(

@@ -63,6 +63,7 @@ _FAST = 3  # statically unrolled renorm read chunks (window beyond -> fori)
 JOIN_NONE = 0  # emit packed symbol bytes (plain ANS decode)
 JOIN_F16 = 1  # emit (raw | sym<<8) u16 floats
 JOIN_BF16 = 2  # emit (raw | ror1(sym)<<8) u16 floats
+JOIN_F32 = 3  # emit ror1(low16 | sec2<<16 | sym<<24) u32 floats
 
 
 def _suffix_weights():
@@ -83,10 +84,14 @@ def _decode_kernel2(
     if join == JOIN_NONE:
         out_ref = rest[0]
         states_s, ptr_s, w32_s = rest[1], rest[2], rest[3]
-        raw_ref = None
-    else:
+        raw_ref = sec2_ref = None
+    elif join in (JOIN_F16, JOIN_BF16):
         raw_ref, out_ref = rest[0], rest[1]
         states_s, ptr_s, w32_s = rest[2], rest[3], rest[4]
+        sec2_ref = None
+    else:  # JOIN_F32: two raw sections
+        raw_ref, sec2_ref, out_ref = rest[0], rest[1], rest[2]
+        states_s, ptr_s, w32_s = rest[3], rest[4], rest[5]
 
     j = pl.program_id(2)
 
@@ -197,6 +202,35 @@ def _decode_kernel2(
         )
         return word[:, :32]
 
+    def join32_step(u, sym):
+        """Emit 32 final fp32 words per block for this step (floats
+        (15-u)*32 + m of the j-tile; FloatTypeInfo<kFloat32>::join,
+        GpuFloatUtils.cuh:292-302)."""
+        gl_ = lane & 31
+        # sec1: one u16 per float, two per staged word
+        su = (15 - u) * 16
+        s1 = jnp.concatenate(
+            [raw_ref[:, q, su : su + 16] for q in range(4)], axis=1
+        )
+        s1 = jnp.concatenate([s1, jnp.zeros((G4, 64), U32)], axis=1)
+        i1 = (lane >> 5) * 16 + (gl_ >> 1)
+        w1 = jnp.take_along_axis(s1, i1, axis=1)
+        low16 = jnp.where((gl_ & 1) == 1, w1 >> U32(16), w1 & U32(0xFFFF))
+        # sec2: one byte per float, four per staged word
+        sv = (15 - u) * 8
+        s2 = jnp.concatenate(
+            [sec2_ref[:, q, sv : sv + 8] for q in range(4)], axis=1
+        )
+        s2 = jnp.concatenate([s2, jnp.zeros((G4, 96), U32)], axis=1)
+        i2 = (lane >> 5) * 8 + (gl_ >> 2)
+        w2 = jnp.take_along_axis(s2, i2, axis=1)
+        b2 = (w2 >> ((gl_ & 3).astype(U32) << U32(3))) & U32(0xFF)
+        r = low16 | (b2 << U32(16)) | (sym << U32(24))
+        res = (r >> U32(1)) | (r << U32(31))
+        fo = (15 - u) * 32
+        for q in range(4):
+            out_ref[:, q, fo : fo + 32] = res[:, q * 32 : (q + 1) * 32]
+
     words = []
     for grp in range(_UNROLL // _REBOUND):
         ptrg = ofs32 + (ptr >> 1)
@@ -207,10 +241,16 @@ def _decode_kernel2(
             states, ptr, sym = one_step(
                 j * _UNROLL + u, du, states, ptr, hi_c, mn
             )
-            words.append(pack(sym))
+            if join == JOIN_F32:
+                join32_step(u, sym)
+            else:
+                words.append(pack(sym))
 
     states_s[...] = states
     ptr_s[...] = ptr
+
+    if join == JOIN_F32:
+        return
 
     if join == JOIN_NONE:
         for q in range(4):
@@ -462,3 +502,99 @@ def decode_join16_fused(
         ),
     )(st, cw, uw, sym4_r, stab_r, ST, raw_c)
     return out.reshape(B, NBP, 2 * (BLOCK_SIZE // 4))[:, :NB]
+
+
+@functools.partial(jax.jit, static_argnames=("prob_bits",))
+def decode_join32_fused(
+    streams_ea: jax.Array,
+    comp_words: jax.Array,
+    uncomp_words: jax.Array,
+    states: jax.Array,
+    sym4: jax.Array,
+    symtab: jax.Array,
+    sec1_32: jax.Array,
+    sec2_32: jax.Array,
+    prob_bits: int,
+) -> jax.Array:
+    """Fused ANS-decode + fp32 join (reference RUN_FUSED for kFloat32,
+    GpuFloatDecompress.cuh:935-972). sec1_32: uint32[B, NB, 2048]
+    block-major low-u16 pairs; sec2_32: uint32[B, NB, 1024] block-major
+    third bytes. Returns uint32[B, NB, 4096]: final fp32 words."""
+    B, NB, SW = streams_ea.shape
+    G = _pick_g(NB)
+    G4 = G // 4
+    ST, cw, uw, st, NBP, CELLS, C2 = _stage(
+        streams_ea, comp_words, uncomp_words, states, G
+    )
+    SLC = max(1, sym4.shape[1] // 128)
+    sym4_r = sym4.reshape(B, SLC, 128) if sym4.shape[1] >= 128 else jnp.pad(
+        sym4, ((0, 0), (0, 128 - sym4.shape[1]))
+    ).reshape(B, 1, 128)
+    stab_r = symtab.reshape(B, 2, 128)
+    s1c = jnp.pad(sec1_32, ((0, 0), (0, NBP - NB), (0, 0))).reshape(
+        B * CELLS, G4, 4, _NJ * 256
+    )
+    s2c = jnp.pad(sec2_32, ((0, 0), (0, NBP - NB), (0, 0))).reshape(
+        B * CELLS, G4, 4, _NJ * 128
+    )
+
+    cells = CELLS
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_kernel2, prob_bits=prob_bits, G4=G4, SW=SW, SLC=SLC,
+            join=JOIN_F32,
+        ),
+        grid=(B, CELLS, _NJ),
+        in_specs=[
+            pl.BlockSpec(
+                (None, G4, 128), lambda b, t, j: (b * cells + t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, G4, 128), lambda b, t, j: (b * cells + t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, G4, 128), lambda b, t, j: (b * cells + t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, SLC, 128), lambda b, t, j: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, 2, 128), lambda b, t, j: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, C2, G4, 128),
+                lambda b, t, j: (b * cells + t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, G4, 4, 256),
+                lambda b, t, j: (b * cells + t, 0, 0, _NJ - 1 - j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, G4, 4, 128),
+                lambda b, t, j: (b * cells + t, 0, 0, _NJ - 1 - j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, G4, 4, 512),
+            lambda b, t, j: (b * cells + t, 0, 0, _NJ - 1 - j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * CELLS, G4, 4, _NJ * 512), U32),
+        scratch_shapes=[
+            pltpu.VMEM((G4, 128), U32),
+            pltpu.VMEM((G4, 128), I32),
+            pltpu.VMEM((G4, 128), U32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+    )(st, cw, uw, sym4_r, stab_r, ST, s1c, s2c)
+    return out.reshape(B, NBP, 4 * (BLOCK_SIZE // 4))[:, :NB]
