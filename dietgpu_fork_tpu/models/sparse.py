@@ -54,7 +54,10 @@ def _nonzero_mask(data32: jax.Array, n: jax.Array, S_cap: int, ft: FloatType):
     elif ft == FloatType.FLOAT32:
         nz = data32[:, :S_cap] != 0
     else:
-        nz = (data32[:, 0 : 2 * S_cap : 2] | data32[:, 1 : 2 * S_cap : 2]) != 0
+        # NOTE: no strided slices here — x[:, 0::2] lowers to a serial
+        # gather on TPU (~7 ns/element); a minor-dim reduce does not
+        v = data32[:, : 2 * S_cap].reshape(B, S_cap, 2)
+        nz = jax.lax.reduce(v, u32(0), jax.lax.bitwise_or, (2,)) != 0
     pos = jnp.arange(S_cap, dtype=I32)[None, :]
     return nz & (pos < n[:, None])
 
