@@ -54,10 +54,17 @@ def _nonzero_mask(data32: jax.Array, n: jax.Array, S_cap: int, ft: FloatType):
     elif ft == FloatType.FLOAT32:
         nz = data32[:, :S_cap] != 0
     else:
-        # NOTE: no strided slices here — x[:, 0::2] lowers to a serial
-        # gather on TPU (~7 ns/element); a minor-dim reduce does not
-        v = data32[:, : 2 * S_cap].reshape(B, S_cap, 2)
-        nz = jax.lax.reduce(v, u32(0), jax.lax.bitwise_or, (2,)) != 0
+        # NOTE: pairwise OR via reduce_window — x[:, 0::2] strided slices
+        # lower to serial gathers on TPU (~7 ns/element), and a
+        # reshape(..., 2) pads the minor dim 2 -> 128 (64x memory)
+        nz = (
+            jax.lax.reduce_window(
+                data32[:, : 2 * S_cap], u32(0), jax.lax.bitwise_or,
+                window_dimensions=(1, 2), window_strides=(1, 2),
+                padding="VALID",
+            )
+            != 0
+        )
     pos = jnp.arange(S_cap, dtype=I32)[None, :]
     return nz & (pos < n[:, None])
 
