@@ -2,7 +2,10 @@
 hdr = None
 rows = []
 seen = set()
-for path in ("/tmp/sparse_r2.csv", "/tmp/sparse_f64.csv", "/tmp/sparse_bf.csv"):
+for path in ("/tmp/sparse_bf2.csv",
+             "/tmp/sparse_f64c.csv", "/tmp/sparse_f64b.csv",
+             "/tmp/sparse_r2.csv",
+             "/tmp/sparse_f64.csv", "/tmp/sparse_bf.csv"):
     try:
         for line in open(path):
             line = line.strip()
