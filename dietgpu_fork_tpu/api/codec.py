@@ -204,11 +204,20 @@ def compress_data(
     checksum: bool = False,
     prob_bits: int = DEFAULT_PROB_BITS,
     sparse: bool = False,
+    histogram=None,
 ) -> Tuple[jax.Array, jax.Array, int]:
     """Batch compress. Returns (comp uint8[B, maxCompSize], sizes int[B],
-    temp_mem_estimate). Output rows are zero-padded past the reported size."""
+    temp_mem_estimate). Output rows are zero-padded past the reported size.
+
+    histogram: optional uint32[B, 256] caller-supplied byte histograms for
+    the raw-ANS path — skips the statistics pass (GpuANSCodec.h:82-84)."""
     if not len(ts):
         raise ValueError("empty batch")
+    if histogram is not None and compress_as_float:
+        raise ValueError(
+            "caller-supplied histograms apply to raw ANS only (the float "
+            "codec derives per-plane histograms inside its fused split)"
+        )
     if compress_as_float:
         ft = float_type_of(ts[0])
         for t in ts:
@@ -230,6 +239,7 @@ def compress_data(
         comp, comp_bytes = _jit_ans_encode(
             jnp.asarray(buf), jnp.asarray(sizes), prob_bits=prob_bits,
             use_checksum=checksum,
+            hist=None if histogram is None else jnp.asarray(histogram),
         )
         temp = sm.ans_encode_temp_size(len(ts), max(max_bytes, 1))
     return comp, comp_bytes, temp
@@ -332,10 +342,16 @@ def _comp_matrix(comps: Union[Sequence, jax.Array]) -> jax.Array:
 
 def _checksum_status(ok_arr, arch, got) -> DecompressStatus:
     status = DecompressStatus()
+    ok_arr = np.asarray(ok_arr)
     arch = np.asarray(arch)
     got = np.asarray(got)
     for i in range(arch.shape[0]):
-        if arch[i] != got[i]:
+        if not ok_arr[i]:
+            # decode itself failed; its computed checksum is meaningless
+            status.ok = False
+            status.error = "decode_failed"
+            status.error_info.append((i, "member failed to decompress"))
+        elif arch[i] != got[i]:
             status.ok = False
             status.error = "checksum_mismatch"
             status.error_info.append(

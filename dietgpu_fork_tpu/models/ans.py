@@ -135,11 +135,21 @@ def ans_encode_core(
     use_checksum: bool = False,
     hist: Optional[jax.Array] = None,
     s_bytes: Optional[int] = None,
+    hist_totals: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Compress batch rows to coalesced ANS archives in uint32 words.
 
     x32: uint32[B, ceil(S/4)] packed row bytes (little-endian); sizes:
     int32[B] valid byte counts; s_bytes: row byte capacity (default 4*W).
+
+    hist: optional caller-supplied uint32[B, 256] byte histograms — skips
+    the statistics pass, as every reference encode entry point allows
+    (GpuANSCodec.h:82-84, GpuANSEncode.cuh:688-697). By reference semantics
+    the histogram is normalized against the member's own byte count;
+    hist_totals overrides that normalization total (int32[B]) so several
+    shards can quantize one shared histogram identically — the hook for the
+    distributed shared-frequency-table mode (parallel/sharded.py).
+
     Returns (out32 uint32[B, CW_tight], comp_bytes uint32[B]).
     """
     B, W = x32.shape
@@ -149,7 +159,8 @@ def ans_encode_core(
 
     if hist is None:
         hist = histogram_packed(x32, sizes)
-    pdf, cdf, magic, shift = normalize_probs_batched(hist, sizes, prob_bits)
+    norm_tot = sizes if hist_totals is None else hist_totals.astype(I32)
+    pdf, cdf, magic, shift = normalize_probs_batched(hist, norm_tot, prob_bits)
 
     csum = (
         checksum_packed(x32, sizes)
@@ -215,6 +226,7 @@ def ans_encode_padded(
     use_checksum: bool = False,
     hist: Optional[jax.Array] = None,
     out_bytes: Optional[int] = None,
+    hist_totals: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Byte-row wrapper around ans_encode_core with the reference's
     ``max_compressed_size`` output-buffer contract (zero padded)."""
@@ -224,7 +236,8 @@ def ans_encode_padded(
         x_u8 = jnp.pad(x_u8, ((0, 0), (0, pad)))
     x32 = mask_packed_bytes(bitcast_u8_to_u32(x_u8), sizes.astype(I32))
     out32, comp_bytes = ans_encode_core(
-        x32, sizes, prob_bits, use_checksum, hist, s_bytes=S
+        x32, sizes, prob_bits, use_checksum, hist, s_bytes=S,
+        hist_totals=hist_totals,
     )
     comp = bitcast_u32_to_u8(out32)
     cb = out_bytes if out_bytes is not None else max_compressed_size(S)
@@ -238,12 +251,21 @@ def _ans_parse_and_stage(
     base32: jax.Array,
     out_capacity: int,
     capacities: Optional[jax.Array],
+    prob_bits: int,
 ):
-    """Shared decode front half: header parse, capacity check, and the
-    states/blockWords/stream staging merges. On TPU the stream staging is
-    END-aligned for the v2 decoder; on CPU it is start-aligned for the
-    reference path. Returns (streams, comp_w, uncomp_w, states, pdf,
-    success, n, csum, NB)."""
+    """Shared decode front half: header parse + validation, capacity check,
+    and the states/blockWords/stream staging merges. On TPU the stream
+    staging is END-aligned for the v2 decoder; on CPU it is start-aligned
+    for the reference path. Returns (streams, comp_w, uncomp_w, states, pdf,
+    success, n, csum, NB).
+
+    Header validation mirrors the reference's decode-side asserts
+    (GpuANSUtils.cuh:109-112 magic+version, GpuANSDecode.cuh:323 probBits)
+    but folds failures into per-member ``success`` instead of trapping:
+    wrong magic/version, probBits mismatch, inconsistent block count, or a
+    claimed archive extent beyond the buffer row all mark the member failed
+    (size reported as 0) and zero its staging, so garbage input can never
+    come back as success=True."""
     B, CW = comp32.shape
     NB = max(1, -(-out_capacity // BLOCK_SIZE))
     base32 = base32.astype(I32)
@@ -257,11 +279,23 @@ def _ans_parse_and_stage(
     hdr = row_gather(jnp.broadcast_to(jnp.arange(8, dtype=I32), (B, 8)))
     nb_arch = hdr[:, 1].astype(I32)
     n = hdr[:, 2].astype(I32)
+    total_w = hdr[:, 3].astype(I32)
+    options = hdr[:, 4]
     csum = hdr[:, 5]
+
+    magic_ok = hdr[:, 0] == u32(_ANS_MAGIC_VERSION)
+    pb_ok = (options & u32(0xF)) == u32(prob_bits)
+    struct_ok = (n >= 0) & (total_w >= 0) & (nb_arch == _num_blocks_dyn(n))
+    nb_safe = jnp.clip(nb_arch, 0, 1 << 24)
+    _, data_off_arch = _layout(nb_safe)
+    fits = base32 + data_off_arch + ((total_w + 1) >> 1) <= CW
+    valid = magic_ok & pb_ok & struct_ok & fits
+    n = jnp.where(valid, n, 0)
+    nb_arch = jnp.where(valid, nb_arch, 0)
 
     if capacities is None:
         capacities = jnp.full((B,), out_capacity, I32)
-    success = n <= capacities.astype(I32)
+    success = valid & (n <= capacities.astype(I32))
 
     # unpack pdf table
     pw = row_gather(jnp.broadcast_to(8 + jnp.arange(128, dtype=I32), (B, 128)))
@@ -335,7 +369,7 @@ def ans_decode_core(
     """
     B = comp32.shape[0]
     streams, comp_w, uncomp_w, states, pdf, success, n, csum, NB = (
-        _ans_parse_and_stage(comp32, base32, out_capacity, capacities)
+        _ans_parse_and_stage(comp32, base32, out_capacity, capacities, prob_bits)
     )
     if jax.default_backend() == "tpu":
         from ..ops.pallas.rans_decode_fused2 import decode_blocks_fused2
@@ -376,7 +410,7 @@ def ans_decode_join16_core(
 
     B = comp32.shape[0]
     streams, comp_w, uncomp_w, states, pdf, success, n, csum, NB = (
-        _ans_parse_and_stage(comp32, base32, out_floats, capacities)
+        _ans_parse_and_stage(comp32, base32, out_floats, capacities, prob_bits)
     )
     sym4, symtab = build_decode_tables_split(pdf, prob_bits)
     out_fw = decode_join16_fused(
@@ -408,7 +442,7 @@ def ans_decode_join32_core(
 
     B = comp32.shape[0]
     streams, comp_w, uncomp_w, states, pdf, success, n, csum, NB = (
-        _ans_parse_and_stage(comp32, base32, out_floats, capacities)
+        _ans_parse_and_stage(comp32, base32, out_floats, capacities, prob_bits)
     )
     sym4, symtab = build_decode_tables_split(pdf, prob_bits)
     out_fw = decode_join32_fused(

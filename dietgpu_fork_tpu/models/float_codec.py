@@ -225,9 +225,21 @@ def float_decompress_core(
     csum_arch = hdr[:, 3]
     first_seg = hdr[:, 4].astype(I32)
 
+    # header validation, as the reference's float decompress kernel does
+    # before touching any payload (GpuFloatDecompress.cuh:577-587 checks
+    # magic+version and the declared float type): mismatches fold into
+    # per-member success (size reported 0) rather than trapping.
+    valid = (
+        (hdr[:, 0] == u32(_FLOAT_MAGIC_VERSION))
+        & ((hdr[:, 2] & u32(0xF)) == u32(int(ft)))
+        & (n >= 0)
+    )
+    n = jnp.where(valid, n, 0)
+    first_seg = jnp.where(valid, first_seg, 0)
+
     if capacities is None:
         capacities = jnp.full((B,), out_floats, I32)
-    success = n <= capacities.astype(I32)
+    success = valid & (n <= capacities.astype(I32))
 
     s1w, s2w = _section_word_counts(n, ft)
     ans_base0 = base32 + 8 + s1w + s2w

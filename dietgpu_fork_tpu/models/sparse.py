@@ -224,9 +224,16 @@ def sparse_float_decompress_core(
     B, CW = comp32.shape
     n = comp32[:, 0].astype(I32)
 
+    # The sparse header carries only the float count (GpuSparseFloatHeader,
+    # GpuFloatUtils.cuh:107-128 — no magic); sanitize it so a garbage count
+    # cannot produce negative/overflowing section offsets. Real validation
+    # happens on the embedded dense archive's magic below.
+    sane = (n >= 0) & (4 + _bitmap_words(jnp.maximum(n, 0)) + 4 <= CW)
+    n = jnp.where(sane, n, 0)
+
     if capacities is None:
         capacities = jnp.full((B,), out_floats, I32)
-    success = n <= capacities.astype(I32)
+    success = sane & (n <= capacities.astype(I32))
 
     from ..ops.pallas.merge import runs_merge
 

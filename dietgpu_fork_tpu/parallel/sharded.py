@@ -146,6 +146,53 @@ def ans_decode_sharded(
     return jax.jit(sharded)(comp_u8)
 
 
+def ans_encode_shared_table(
+    mesh: Mesh,
+    x_u8: jax.Array,
+    sizes: jax.Array,
+    prob_bits: int = 10,
+    use_checksum: bool = False,
+    axis: str = "data",
+):
+    """Shared-frequency-table encode (SURVEY §2.8): one byte histogram is
+    all-reduced over the mesh axis and every shard encodes against the
+    identical broadcast table.
+
+    This is the distributed use of the reference's caller-supplied-histogram
+    hook (GpuANSCodec.h:82-84): one `psum` replaces B independent statistics
+    passes, every member's archive embeds the *same* table (so gathered
+    streams can be decoded against one table), and archives remain fully
+    self-describing — any member decodes bit-exact through the normal path.
+    Normalization uses the global byte total on every shard so the quantized
+    tables agree everywhere (global total must fit int32 ~2.1 GB).
+
+    Returns (comp uint8[B, CB] sharded, comp_bytes uint32[B] sharded).
+    """
+    from ..ops.checksum import mask_packed_bytes
+    from ..ops.histogram import histogram_packed
+
+    def fn(x, sz):
+        sz = sz.astype(I32)
+        pad = (-x.shape[1]) % 4
+        xp = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
+        x32 = mask_packed_bytes(bitcast_u8_to_u32(xp), sz)
+        h = histogram_packed(x32, sz)
+        gh = jax.lax.psum(h.sum(axis=0, dtype=jnp.uint32), axis)
+        gtot = jax.lax.psum(sz.sum(), axis)
+        B = x.shape[0]
+        hist = jnp.broadcast_to(gh[None, :], (B, 256))
+        tots = jnp.full((B,), 1, I32) * gtot
+        return ans_encode_padded(
+            x, sz, prob_bits, use_checksum, hist=hist, hist_totals=tots
+        )
+
+    spec = P(axis, None)
+    sharded = shard_map(
+        fn, mesh=mesh, in_specs=(spec, P(axis)), out_specs=(spec, P(axis))
+    )
+    return jax.jit(sharded)(x_u8, sizes)
+
+
 def global_compressed_sizes(comp_bytes: jax.Array, mesh: Mesh,
                             axis: str = "data") -> jax.Array:
     """All-gather per-member compressed sizes so every host can assemble

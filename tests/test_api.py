@@ -164,3 +164,20 @@ def test_temp_memory_contract(rng):
     assert est.high == 3072 and est.cur == 1536
     assert sm.ans_encode_temp_size(128, 512 * 1024) > 0
     assert sm.float_compress_temp_size(1, 1 << 20, FloatType.FLOAT64) > 0
+
+
+def test_caller_supplied_histogram_matches_default(rng):
+    # GpuANSCodec.h:82-84: encode entries accept a precomputed histogram and
+    # skip the statistics pass; supplying the true histogram must reproduce
+    # the default archives bit-exactly
+    ts = [rng.integers(0, 100, n, dtype=np.uint8) for n in (5000, 12000)]
+    hist = np.zeros((2, 256), np.uint32)
+    for i, t in enumerate(ts):
+        hist[i] = np.bincount(t, minlength=256).astype(np.uint32)
+    base, base_bytes, _ = C.compress_data(False, ts)
+    given, given_bytes, _ = C.compress_data(False, ts, histogram=hist)
+    assert np.array_equal(np.asarray(base_bytes), np.asarray(given_bytes))
+    assert np.array_equal(np.asarray(base), np.asarray(given))
+
+    with pytest.raises(ValueError):
+        C.compress_data(True, [np.zeros(8, np.float32)], histogram=hist)

@@ -151,3 +151,42 @@ def test_compressed_ppermute(rng, mesh):
     assert np.array_equal(
         np.asarray(got).view(np.uint8), want.view(np.uint8)
     )
+
+
+def test_shared_table_encode(rng, mesh):
+    # shared-frequency-table mode: one histogram all-reduced over the mesh,
+    # all members encoded against the identical broadcast table
+    B, S = 8, 8192
+    x = rng.integers(0, 48, (B, S), np.uint8)
+    sizes = jnp.full((B,), S, jnp.int32)
+    xs = sh.shard_batch(mesh, jnp.asarray(x))
+    ss = sh.shard_batch(mesh, sizes)
+    comp, comp_bytes = sh.ans_encode_shared_table(mesh, xs, ss)
+
+    comp_np = np.asarray(comp)
+    # every archive embeds the SAME packed pdf table (words 8..136)
+    tables = comp_np[:, 32:544]
+    for i in range(1, B):
+        assert np.array_equal(tables[i], tables[0])
+
+    # archives decode bit-exact through the ordinary path
+    out, success, nsz, _ = sh.ans_decode_sharded(mesh, comp, S)
+    assert np.all(np.asarray(success))
+    assert np.array_equal(np.asarray(out)[:, :S], x)
+
+    # and equal the single-device shared-table encode (same hist, same tots)
+    from dietgpu_fork_tpu.models.ans import ans_encode_padded
+    from dietgpu_fork_tpu.ops.bitops import bitcast_u8_to_u32
+    from dietgpu_fork_tpu.ops.histogram import histogram_packed
+
+    x32 = bitcast_u8_to_u32(jnp.asarray(x))
+    gh = histogram_packed(x32, sizes).sum(axis=0, dtype=jnp.uint32)
+    ref, ref_bytes = jax.jit(
+        ans_encode_padded, static_argnames=("prob_bits", "use_checksum")
+    )(
+        jnp.asarray(x), sizes,
+        hist=jnp.broadcast_to(gh[None], (B, 256)),
+        hist_totals=jnp.full((B,), B * S, jnp.int32),
+    )
+    assert np.array_equal(np.asarray(comp_bytes), np.asarray(ref_bytes))
+    assert np.array_equal(comp_np, np.asarray(ref))
