@@ -36,6 +36,15 @@ ANS_MIN_STATE = ANS_START_STATE
 # Archive integrity magic / version words.
 ANS_MAGIC = 0xD00D
 ANS_VERSION = 0x0001
+# TPU-native ROW-STREAM layout (opt-in): identical header/probs/states/
+# blockWords sections, but the compressed streams of each row of 4
+# consecutive blocks are interleaved per STEP into one shared stream
+# (step ascending; within a step, blocks then lanes ascending), tightly
+# packed with 16-byte alignment per ROW instead of per block. Versioned
+# through the header's magic+version word exactly as the reference's
+# mechanism allows (GpuANSUtils.cuh:52-55). 4x fewer stream segments =
+# 4x fewer staging/coalesce pieces on TPU; same compression ratio.
+ANS_MAGIC_NATIVE = 0xDB0D
 FLOAT_MAGIC = 0xF00F
 FLOAT_VERSION = 0x0001
 

@@ -193,7 +193,7 @@ def build_decode_table(pdf: np.ndarray, prob_bits: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _encode_blocks(
+def _encode_walk(
     data: np.ndarray,
     pdf: np.ndarray,
     cdf: np.ndarray,
@@ -203,8 +203,10 @@ def _encode_blocks(
 ):
     """Run the interleaved 32-state rANS coder over all blocks of one input.
 
-    Returns (final_states (nb,32) u32, streams (nb, maxw) u16,
-    num_words (nb,) int64).
+    Returns (final_states (nb,32) u32, words (STEPS, nb, 32) u16 raw
+    emission values, mask (STEPS, nb, 32) bool emission flags) — the
+    pre-compaction walk shared by the classic (per-block streams) and
+    native (per-row streams) archive layouts.
     Vectorized over blocks; sequential over the 128 steps, mirroring
     encodeOneWarp/encodeOnePartialWarp (GpuANSEncode.cuh:50-136).
     """
@@ -241,7 +243,24 @@ def _encode_blocks(
         mod = states - dv * p
         states = np.where(v, dv * prob_mul + mod + c, states)
 
-    # Compact emissions per block in (step, lane-ascending) order.
+    return states, words, mask
+
+
+def _encode_blocks(
+    data: np.ndarray,
+    pdf: np.ndarray,
+    cdf: np.ndarray,
+    magic: np.ndarray,
+    shift: np.ndarray,
+    prob_bits: int,
+):
+    """Classic layout: compact emissions per BLOCK in (step, lane) order.
+
+    Returns (final_states (nb,32) u32, streams (nb, maxw) u16,
+    num_words (nb,) int64)."""
+    nb = num_blocks(data.size)
+    states, words, mask = _encode_walk(data, pdf, cdf, magic, shift, prob_bits)
+
     flat_mask = mask.transpose(1, 0, 2).reshape(nb, BLOCK_SIZE)
     flat_words = words.transpose(1, 0, 2).reshape(nb, BLOCK_SIZE)
     nwords = flat_mask.sum(axis=1).astype(np.int64)

@@ -24,6 +24,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..core.config import use_pallas
 from ..core.constants import (
     BLOCK_SIZE,
     NUM_SYMBOLS,
@@ -302,7 +303,7 @@ def _ans_parse_and_stage(
     pdf = jnp.stack([pw & u32(0xFFFF), pw >> u32(16)], axis=2).reshape(
         B, NUM_SYMBOLS
     )
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = use_pallas()
 
     # decodable blocks: those that fit the output buffer
     nb = jnp.minimum(nb_arch, NB)
@@ -371,7 +372,7 @@ def ans_decode_core(
     streams, comp_w, uncomp_w, states, pdf, success, n, csum, NB = (
         _ans_parse_and_stage(comp32, base32, out_capacity, capacities, prob_bits)
     )
-    if jax.default_backend() == "tpu":
+    if use_pallas():
         from ..ops.pallas.rans_decode_fused2 import decode_blocks_fused2
         from ..ops.table import build_decode_tables_split
 

@@ -23,6 +23,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..core.config import use_pallas
 from ..core.constants import (
     BLOCK_SIZE,
     FLOAT_NUM_COMP_SEGMENTS,
@@ -246,7 +247,7 @@ def float_decompress_core(
 
     if (
         ft in (FloatType.FLOAT16, FloatType.BFLOAT16)
-        and jax.default_backend() == "tpu"
+        and use_pallas()
     ):
         # fused decode+join (the reference's RUN_FUSED single-pass,
         # GpuFloatDecompress.cuh:935-972): stage the raw section
@@ -280,7 +281,7 @@ def float_decompress_core(
 
     if (
         ft == FloatType.FLOAT32
-        and jax.default_backend() == "tpu"
+        and use_pallas()
         and _FUSED_F32
     ):
         # fused decode+join for fp32: both raw sections staged block-major

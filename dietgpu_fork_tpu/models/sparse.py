@@ -22,6 +22,8 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax
+
+from ..core.config import use_pallas
 import jax.numpy as jnp
 
 from ..core.constants import (
@@ -76,18 +78,67 @@ def _bitmap_words(n):
 
 def _pack_bitmap32(nz: jax.Array, n: jax.Array, S_cap: int) -> jax.Array:
     """MSB-first bit packing (GpuSparseFloatCompress.cuh:64-113), straight
-    into uint32 words (byte k of each word is bits 8k..8k+7, bit 7 first)."""
-    B = nz.shape[0]
+    into uint32 words (byte k of each word is bits 8k..8k+7, bit 7 first).
+
+    Each bit is pre-shifted to its in-word position in the natural (B, S)
+    layout, then OR-folded with a stride-32 reduce_window — no (.., 4, 8)
+    minor-dim reshapes (those tile 8 -> 128 on TPU, a 16x memory blowup
+    that made packing cost more than the compaction kernel)."""
     pad = (-S_cap) % 32
-    bits = jnp.pad(nz.astype(U32), ((0, 0), (0, pad))).reshape(B, -1, 4, 8)
-    weights = (u32(1) << jnp.arange(7, -1, -1, dtype=U32))[None, None, None, :]
-    bytes_ = (bits * weights).sum(axis=3).astype(U32)
-    shifts = (u32(8) * jnp.arange(4, dtype=U32))[None, None, :]
-    words = (bytes_ << shifts).sum(axis=2).astype(U32)
+    nzp = jnp.pad(nz.astype(U32), ((0, 0), (0, pad)))
+    pos = jnp.arange(S_cap + pad, dtype=U32)[None, :]
+    # float 8k+j of a word -> bit 8k + (7-j): position xor 7
+    val = nzp << ((pos & u32(31)) ^ u32(7))
+    words = jax.lax.reduce_window(
+        val, u32(0), jax.lax.bitwise_or,
+        window_dimensions=(1, 32), window_strides=(1, 32), padding="VALID",
+    )
     # zero the alignment tail beyond this member's bitmap
     wpos = jnp.arange(words.shape[1], dtype=I32)[None, :]
     valid_w = wpos < (-(-n[:, None] // 32))
     return jnp.where(valid_w, words, u32(0))
+
+
+def _pack_bitmap_direct(
+    data32: jax.Array, n: jax.Array, S_cap: int, ft: FloatType
+) -> jax.Array:
+    """MSB-first bitmap words straight from the packed input words —
+    no per-float boolean plane. The 16-bit mask's stack(axis=2) pair
+    deinterleave tiles its minor dim 2 -> 128 on TPU (64x memory); here
+    both halves' bits are placed in one shifted value per WORD and
+    OR-folded with strided reduce_windows, all in the natural (B, W)
+    layout."""
+    nI = n.astype(I32)[:, None]
+    if ft in (FloatType.FLOAT16, FloatType.BFLOAT16):
+        W = S_cap // 2
+        w = data32[:, :W]
+        f0 = 2 * jnp.arange(W, dtype=I32)[None, :]
+        sh_lo = ((f0 & 31) ^ 7).astype(U32)  # even position: ^7 = +7
+        lo = ((w & u32(0xFFFF)) != 0) & (f0 < nI)
+        hi = ((w >> u32(16)) != 0) & (f0 + 1 < nI)
+        val = (lo.astype(U32) << sh_lo) | (hi.astype(U32) << (sh_lo - 1))
+        win = 16
+    else:
+        if ft == FloatType.FLOAT32:
+            nzw = data32[:, :S_cap]
+        else:
+            nzw = jax.lax.reduce_window(
+                data32[:, : 2 * S_cap], u32(0), jax.lax.bitwise_or,
+                window_dimensions=(1, 2), window_strides=(1, 2),
+                padding="VALID",
+            )
+        pos = jnp.arange(S_cap, dtype=I32)[None, :]
+        val = ((nzw != 0) & (pos < nI)).astype(U32) << (
+            ((pos & 31) ^ 7).astype(U32)
+        )
+        win = 32
+    pad = (-val.shape[1]) % win
+    val = jnp.pad(val, ((0, 0), (0, pad)))
+    return jax.lax.reduce_window(
+        val, u32(0), jax.lax.bitwise_or,
+        window_dimensions=(1, win), window_strides=(1, win),
+        padding="VALID",
+    )
 
 
 def _unpack_bitmap(bm32: jax.Array, S_cap: int) -> jax.Array:
@@ -154,12 +205,11 @@ def sparse_float_compress_core(
     S_cap = _floats_capacity(W32, ft)
     n = n.astype(I32)
 
-    nz = _nonzero_mask(data32, n, S_cap, ft)
-    bm32 = _pack_bitmap32(nz, n, S_cap)
+    bm32 = _pack_bitmap_direct(data32, n, S_cap, ft)
     bmw_cap = _bitmap_words(S_cap)
     if bm32.shape[1] < bmw_cap:
         bm32 = jnp.pad(bm32, ((0, 0), (0, bmw_cap - bm32.shape[1])))
-    if jax.default_backend() == "tpu":
+    if use_pallas():
         from ..ops.pallas.sparse_stream import bitrev8_words, compact_by_bitmap
 
         ws_ = FLOAT_WORD_SIZE[ft]
@@ -169,6 +219,7 @@ def sparse_float_compress_core(
         )
         packed = packed[:, : -(-S_cap * ws_ // 4)]
     else:
+        nz = _nonzero_mask(data32, n, S_cap, ft)
         packed, nnz = _compact_nonzeros(data32, nz, ft, S_cap)
 
     dense32, dense_bytes = float_compress_core(
@@ -247,10 +298,6 @@ def sparse_float_decompress_core(
         jnp.minimum(bmw, BMW_cap),
         B * BMW_cap,
     ).reshape(B, BMW_cap)
-    bitmap = _unpack_bitmap(bm32, out_floats)
-    pos = jnp.arange(out_floats, dtype=I32)[None, :]
-    bitmap = bitmap & (pos < n[:, None])
-
     dense_base = 4 + bmw
     nz32, dsuccess, nnz, csum_arch, csum_got = float_decompress_core(
         comp32, dense_base, out_floats, ft, prob_bits, capacities,
@@ -261,7 +308,7 @@ def sparse_float_decompress_core(
     # expansion: out[i] = bitmap[i] ? nonzeros[rank(i)] : 0. On TPU the
     # Pallas window-gather kernel handles all types (pair=0 is the u16-item
     # mode); CPU keeps the rank-gather formulation.
-    if jax.default_backend() == "tpu":
+    if use_pallas():
         from ..ops.checksum import mask_packed_bytes
         from ..ops.pallas.sparse_stream import bitrev8_words, expand_by_bitmap
 
@@ -275,6 +322,9 @@ def sparse_float_decompress_core(
         words32 = mask_packed_bytes(words32, n * ws_)
         return words32, success, n.astype(U32), csum_arch, csum_got
 
+    bitmap = _unpack_bitmap(bm32, out_floats)
+    pos = jnp.arange(out_floats, dtype=I32)[None, :]
+    bitmap = bitmap & (pos < n[:, None])
     rank = jnp.cumsum(bitmap.astype(I32), axis=1) - 1
     rank = jnp.clip(rank, 0, out_floats - 1)
     if ft in (FloatType.FLOAT16, FloatType.BFLOAT16):

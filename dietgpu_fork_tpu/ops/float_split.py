@@ -28,6 +28,8 @@ from __future__ import annotations
 from typing import List, Tuple
 
 import jax
+
+from ..core.config import use_pallas
 import jax.numpy as jnp
 
 from ..core.constants import FloatType
@@ -68,7 +70,7 @@ def split_packed(
     Returns (comp_planes, raw_sections), all uint32-packed as in the
     archive. Requires W32 % 2 == 0 (bf16/fp16/fp64) or % 4 == 0 (fp32).
     """
-    if jax.default_backend() == "tpu":
+    if use_pallas():
         from .pallas.float_split_fused import split_packed_tpu
 
         return split_packed_tpu(data32, FloatType(float_type))
@@ -125,7 +127,7 @@ def split_hist_packed(data32: jax.Array, n_floats: jax.Array,
     raw_sections, hists, csum) with hists uint32[B, 256] over the first
     n_floats bytes and csum uint32[B]."""
     ft = FloatType(float_type)
-    if jax.default_backend() == "tpu":
+    if use_pallas():
         from .pallas.float_split_fused import split_hist_packed_tpu
 
         return split_hist_packed_tpu(data32, n_floats, ft)
@@ -145,7 +147,7 @@ def join_packed(
     comp: List[jax.Array], raw: List[jax.Array], float_type: FloatType
 ) -> jax.Array:
     """Inverse of split_packed: packed planes -> uint32-packed float rows."""
-    if jax.default_backend() == "tpu":
+    if use_pallas():
         from .pallas.float_split_fused import join_packed_tpu
 
         return join_packed_tpu(comp, raw, FloatType(float_type))

@@ -17,6 +17,8 @@ fallback for odd shapes.
 from __future__ import annotations
 
 import jax
+
+from ..core.config import use_pallas
 import jax.numpy as jnp
 
 from ..core.constants import NUM_SYMBOLS
@@ -41,7 +43,7 @@ def histogram_batched(
         # single-row sort 214 ms, XLA MXU nibble matmul 58 ms (one-hot
         # materialization bound), fused compare-reduce ~20 ms, Pallas MXU
         # nibble kernel ~1 ms. CPU scatter is fine and exact everywhere.
-        if jax.default_backend() == "tpu":
+        if use_pallas():
             from .pallas.histogram_mxu import histogram_mxu
 
             return histogram_mxu(data_u8, sizes)
@@ -123,7 +125,7 @@ def histogram_packed(data32: jax.Array, sizes: jax.Array) -> jax.Array:
     rows are unpacked once and counted with scatter-add."""
     from .pallas.histogram_mxu import histogram_mxu_packed
 
-    if jax.default_backend() == "tpu":
+    if use_pallas():
         return histogram_mxu_packed(data32, sizes)
     from .bitops import bitcast_u32_to_u8
 

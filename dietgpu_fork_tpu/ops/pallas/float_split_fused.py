@@ -25,7 +25,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...core.config import pallas_call
+
 from ...core.constants import FloatType
+from .histogram_mxu import _onehot16
 
 I32 = jnp.int32
 U32 = jnp.uint32
@@ -62,8 +65,8 @@ def _hist_accum(plane, acc, first, base_byte, nbytes):
         w = jnp.take_along_axis(plane, idx0 + 2 * g, axis=1)
         b = ((w >> sh) & jnp.uint32(0xFF)).astype(I32)
         b = jnp.where(pos0 + 8 * g < nbytes, b, 0)
-        a_hi = jnp.where((b >> 4) == val, 1.0, 0.0).astype(jnp.bfloat16)
-        a_lo = jnp.where((b & 0xF) == val, 1.0, 0.0).astype(jnp.bfloat16)
+        a_hi = _onehot16(b >> 4, val)
+        a_lo = _onehot16(b & 0xF, val)
         return total + jax.lax.dot_general(
             a_hi, a_lo,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -395,7 +398,7 @@ def split_packed_tpu(data32, float_type: FloatType):
         )
 
     if ft in (FloatType.FLOAT16, FloatType.BFLOAT16):
-        exp, raw = pl.pallas_call(
+        exp, raw = pallas_call(
             functools.partial(
                 _split16_kernel, rotate=ft == FloatType.BFLOAT16
             ),
@@ -414,7 +417,7 @@ def split_packed_tpu(data32, float_type: FloatType):
         )
     if ft == FloatType.FLOAT32:
         x4 = x.reshape(C, R4, 4, 128)
-        exp, sec1, sec2 = pl.pallas_call(
+        exp, sec1, sec2 = pallas_call(
             _split32_kernel,
             grid=(C,),
             in_specs=[out3(R4, 4)],
@@ -432,7 +435,7 @@ def split_packed_tpu(data32, float_type: FloatType):
              sec2.reshape(B, -1)[:, : W // 4]],
         )
     if ft == FloatType.FLOAT64:
-        exp0, exp1, sec1, sec2 = pl.pallas_call(
+        exp0, exp1, sec1, sec2 = pallas_call(
             _split64_kernel,
             grid=(C,),
             in_specs=[spec_in],
@@ -518,7 +521,7 @@ def split_hist_packed_tpu(data32, n_floats, float_type: FloatType):
                 pltpu.VMEM((8, 128), U32),
             ],
         )
-        exp, raw, p, cs = pl.pallas_call(
+        exp, raw, p, cs = pallas_call(
             functools.partial(
                 _split16_hist_kernel, rotate=ft == FloatType.BFLOAT16, ws=2
             ),
@@ -548,7 +551,7 @@ def split_hist_packed_tpu(data32, n_floats, float_type: FloatType):
                 pltpu.VMEM((8, 128), U32),
             ],
         )
-        exp, sec1, sec2, p, cs = pl.pallas_call(
+        exp, sec1, sec2, p, cs = pallas_call(
             _split32_hist_kernel,
             grid_spec=gs,
             out_shape=[
@@ -581,7 +584,7 @@ def split_hist_packed_tpu(data32, n_floats, float_type: FloatType):
                 pltpu.VMEM((8, 128), U32),
             ],
         )
-        exp0, exp1, sec1, sec2, p0, p1, cs = pl.pallas_call(
+        exp0, exp1, sec1, sec2, p0, p1, cs = pallas_call(
             _split64_hist_kernel,
             grid_spec=gs,
             out_shape=[
@@ -639,7 +642,7 @@ def join_packed_tpu(comp, raw, float_type: FloatType):
         E = comp[0].shape[1]
         ec, T = _pad_cells2(comp[0], B, R2)
         rc, _ = _pad_cells2(raw[0], B, R2)
-        out = pl.pallas_call(
+        out = pallas_call(
             functools.partial(
                 _join16_kernel, rotate=ft == FloatType.BFLOAT16
             ),
@@ -654,7 +657,7 @@ def join_packed_tpu(comp, raw, float_type: FloatType):
         ec, T = _pad_cells2(comp[0], B, R4)
         s1c, _ = _pad_cells2(raw[0], B, R2)
         s2c, _ = _pad_cells2(raw[1], B, R4)
-        out = pl.pallas_call(
+        out = pallas_call(
             _join32_kernel,
             grid=(B * T,),
             in_specs=[in2(R4), in3(R4, 2), in2(R4)],
@@ -668,7 +671,7 @@ def join_packed_tpu(comp, raw, float_type: FloatType):
         e1c, _ = _pad_cells2(comp[1], B, R8)
         s1c, _ = _pad_cells2(raw[0], B, R2)
         s2c, _ = _pad_cells2(raw[1], B, R4)
-        out = pl.pallas_call(
+        out = pallas_call(
             _join64_kernel,
             grid=(B * T,),
             in_specs=[in2(R8), in2(R8), in3(R8, 4), in3(R8, 2)],

@@ -25,11 +25,33 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...core.config import pallas_call
+
 I32 = jnp.int32
 U32 = jnp.uint32
 BF16 = jnp.bfloat16
 
 _R = 1024  # rows per grid chunk (chunk = R*128 bytes = 128 KiB)
+
+
+import os
+
+_ONEHOT_CMP = os.environ.get("DIETTPU_HIST_ONEHOT") == "cmp"
+
+
+def _onehot16(n, valf):
+    """(R,128) bf16 indicator [n == val] for integer nibble planes.
+
+    Arithmetic form relu(1 - |n - val|) — exact for integers (|d| >= 1
+    off-match), all values exact in bf16 — so the whole chain runs at
+    bf16 double rate with no i1 mask materialization / f32 select +
+    cast relayouts (those cost as much as the compares on v5e).
+    DIETTPU_HIST_ONEHOT=cmp restores the compare+select construction
+    for A/B timing."""
+    if _ONEHOT_CMP:
+        return jnp.where(n == valf.astype(I32), 1.0, 0.0).astype(BF16)
+    d = n.astype(BF16) - valf.astype(BF16)
+    return jnp.maximum(BF16(1.0) - jnp.abs(d), BF16(0.0))
 
 
 def _hist_body(byte_of, groups: int, acc):
@@ -42,9 +64,8 @@ def _hist_body(byte_of, groups: int, acc):
 
     def body(g, total):
         b = byte_of(g, lane)
-        # select in f32 (same 32-bit tiling as the i1 mask), cast to bf16
-        a_hi = jnp.where((b >> 4) == val, 1.0, 0.0).astype(BF16)
-        a_lo = jnp.where((b & 0xF) == val, 1.0, 0.0).astype(BF16)
+        a_hi = _onehot16(b >> 4, val)
+        a_lo = _onehot16(b & 0xF, val)
         return total + jax.lax.dot_general(
             a_hi, a_lo,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -111,7 +132,7 @@ def histogram_mxu(data_u8: jax.Array, sizes: jax.Array) -> jax.Array:
     data_u8 = jnp.where(pos < sizes.astype(I32)[:, None], data_u8, 0)
     x = jnp.pad(data_u8, ((0, 0), (0, SP - S))).reshape(B * nch, _R, 128)
 
-    p = pl.pallas_call(
+    p = pallas_call(
         functools.partial(_hist_kernel, nch=nch),
         grid=(B, nch),
         in_specs=[
@@ -158,7 +179,7 @@ def histogram_mxu_packed(data32: jax.Array, sizes: jax.Array) -> jax.Array:
     x = jnp.pad(mask_packed_bytes(data32, sizes), ((0, 0), (0, WP - W)))
     x = x.reshape(B * nch, _R, 128)
 
-    p = pl.pallas_call(
+    p = pallas_call(
         functools.partial(_hist_kernel_packed, nch=nch),
         grid=(B, nch),
         in_specs=[

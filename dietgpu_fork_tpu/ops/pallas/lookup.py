@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...core.config import pallas_call
+
 I32 = jnp.int32
 U32 = jnp.uint32
 
@@ -96,7 +98,7 @@ def rowwise_lookup(
         tab = jnp.pad(tab, ((0, Rp - R), (0, 0), (0, 0)))
     tiles = Rp // _ROW_TILE
 
-    out = pl.pallas_call(
+    out = pallas_call(
         functools.partial(_rowwise_kernel, chunks=chunks),
         grid=(tiles,),
         in_specs=[
@@ -140,7 +142,7 @@ def chunked_lookup(
     tiles = Np // (_TILE_ROWS * 128)
     idxp = idxp.reshape(B, tiles, _TILE_ROWS, 128)
 
-    out = pl.pallas_call(
+    out = pallas_call(
         functools.partial(_lookup_kernel, chunks=chunks),
         grid=(B, tiles),
         in_specs=[

@@ -30,9 +30,13 @@ from __future__ import annotations
 import functools
 
 import jax
+
+from ...core.config import use_pallas
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from ...core.config import pallas_call
 
 I32 = jnp.int32
 U32 = jnp.uint32
@@ -241,7 +245,7 @@ def _runs_merge_tpu(src_flat, dst_off, src_off, lens, *, out_len: int):
 
     out_init = jnp.zeros((T * _TROWS, 128), U32)
 
-    out = pl.pallas_call(
+    out = pallas_call(
         functools.partial(_merge_kernel, n_items=G),
         grid=(ng,),
         in_specs=[
@@ -464,7 +468,7 @@ def _runs_merge_tpu2(src_flat, dst_off, src_off, lens, *, out_len: int):
             pltpu.SemaphoreType.DMA((_D2,)),
         ],
     )
-    out = pl.pallas_call(
+    out = pallas_call(
         _merge2_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T * _T2R, 128), U32),
@@ -506,7 +510,7 @@ def runs_merge(
     non-overlapping; source offsets arbitrary; uint32-word granular.
     Zero-length runs are allowed.
     """
-    if jax.default_backend() == "tpu":
+    if use_pallas():
         return _runs_merge_tpu2(
             src_flat, dst_off, src_off, lens, out_len=out_len
         )

@@ -44,6 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...core.config import pallas_call
+
 from ...core.constants import (
     ANS_MIN_STATE,
     BLOCK_SIZE,
@@ -115,12 +117,11 @@ def _decode_kernel2(
     live = uw > 0
     W = _suffix_weights()
 
-    sym4_bc = [
-        jnp.broadcast_to(sym4_ref[c][None, :], (G4, 128)) for c in range(SLC)
-    ]
-    stab_bc = [
-        jnp.broadcast_to(stab_ref[c][None, :], (G4, 128)) for c in range(2)
-    ]
+    # PER-ROW tables (each G4 row's 4 blocks share one member): lets one
+    # cell span many batch members — the reference's bs=128 regime decodes
+    # with the same full-width vectors as bs=1
+    sym4_bc = [sym4_ref[c] for c in range(SLC)]
+    stab_bc = [stab_ref[c] for c in range(2)]
 
     def one_step(i, du, states, ptr, hi_c, mn):
         k = i - (STEPS_PER_BLOCK - nsteps)
@@ -202,35 +203,6 @@ def _decode_kernel2(
         )
         return word[:, :32]
 
-    def join32_step(u, sym):
-        """Emit 32 final fp32 words per block for this step (floats
-        (15-u)*32 + m of the j-tile; FloatTypeInfo<kFloat32>::join,
-        GpuFloatUtils.cuh:292-302)."""
-        gl_ = lane & 31
-        # sec1: one u16 per float, two per staged word
-        su = (15 - u) * 16
-        s1 = jnp.concatenate(
-            [raw_ref[:, q, su : su + 16] for q in range(4)], axis=1
-        )
-        s1 = jnp.concatenate([s1, jnp.zeros((G4, 64), U32)], axis=1)
-        i1 = (lane >> 5) * 16 + (gl_ >> 1)
-        w1 = jnp.take_along_axis(s1, i1, axis=1)
-        low16 = jnp.where((gl_ & 1) == 1, w1 >> U32(16), w1 & U32(0xFFFF))
-        # sec2: one byte per float, four per staged word
-        sv = (15 - u) * 8
-        s2 = jnp.concatenate(
-            [sec2_ref[:, q, sv : sv + 8] for q in range(4)], axis=1
-        )
-        s2 = jnp.concatenate([s2, jnp.zeros((G4, 96), U32)], axis=1)
-        i2 = (lane >> 5) * 8 + (gl_ >> 2)
-        w2 = jnp.take_along_axis(s2, i2, axis=1)
-        b2 = (w2 >> ((gl_ & 3).astype(U32) << U32(3))) & U32(0xFF)
-        r = low16 | (b2 << U32(16)) | (sym << U32(24))
-        res = (r >> U32(1)) | (r << U32(31))
-        fo = (15 - u) * 32
-        for q in range(4):
-            out_ref[:, q, fo : fo + 32] = res[:, q * 32 : (q + 1) * 32]
-
     words = []
     for grp in range(_UNROLL // _REBOUND):
         ptrg = ofs32 + (ptr >> 1)
@@ -241,15 +213,45 @@ def _decode_kernel2(
             states, ptr, sym = one_step(
                 j * _UNROLL + u, du, states, ptr, hi_c, mn
             )
-            if join == JOIN_F32:
-                join32_step(u, sym)
-            else:
-                words.append(pack(sym))
+            words.append(pack(sym))
 
     states_s[...] = states
     ptr_s[...] = ptr
 
     if join == JOIN_F32:
+        # fp32 join as a TILE epilogue (not per step): symbol word j' of
+        # block q covers floats 4j'..4j'+3 of this 512-float tile; output
+        # float f = low16(sec1 u16 f) | sec2 byte f << 16 | sym byte f
+        # << 24, rotated right 1 (FloatTypeInfo<kFloat32>::join,
+        # GpuFloatUtils.cuh:292-302). Everything is full-width static
+        # slices + 3 lane gathers per 128-float output segment — the
+        # per-step 32-lane slicing this replaces was what made fused fp32
+        # slower than two-pass in r2.
+        b_sh = ((lane & 3) << 3).astype(U32)
+        for q in range(4):
+            s = jnp.concatenate(
+                [w[:, q * 8 : (q + 1) * 8] for w in words[::-1]], axis=1
+            )
+            s1a = raw_ref[:, q, 0:128]  # sec1 words 0..127 (floats 0..255)
+            s1b = raw_ref[:, q, 128:256]  # words 128..255 (floats 256..511)
+            s2 = sec2_ref[:, q, :]  # (G4, 128) third-byte words
+            for h in range(4):  # floats h*128 .. h*128+127 of the tile
+                i4 = h * 32 + (lane >> 2)
+                symb = (
+                    jnp.take_along_axis(s, i4, axis=1) >> b_sh
+                ) & U32(0xFF)
+                i1 = (h & 1) * 64 + (lane >> 1)
+                w1 = jnp.take_along_axis(s1a if h < 2 else s1b, i1, axis=1)
+                low16 = jnp.where(
+                    (lane & 1) == 1, w1 >> U32(16), w1 & U32(0xFFFF)
+                )
+                b2 = (jnp.take_along_axis(s2, i4, axis=1) >> b_sh) & U32(
+                    0xFF
+                )
+                r = low16 | (b2 << U32(16)) | (symb << U32(24))
+                out_ref[:, q, h * 128 : (h + 1) * 128] = (
+                    (r >> U32(1)) | (r << U32(31))
+                )
         return
 
     if join == JOIN_NONE:
@@ -309,36 +311,87 @@ def _pick_g(NB: int) -> int:
     return max(8, -(-NB // 8) * 8)
 
 
+def _flat_geom(B: int, NB: int, G: int):
+    """FLAT block space: members' blocks are concatenated (each padded to a
+    multiple of 4 so no kernel row straddles members) and tiled into shared
+    G-block cells — the bs=128 batch regime fills (G4,128) vectors exactly
+    like one big member."""
+    NB4 = -(-NB // 4) * 4
+    NBF = B * NB4
+    NBP = -(-NBF // G) * G
+    return NB4, NBF, NBP, NBP // G
+
+
+def _flatten_blocks(a, NB, NB4, NBF, NBP):
+    """(B, NB, ...) -> (NBP, ...) flat block axis (zero padded)."""
+    pads = [(0, 0), (0, NB4 - NB)] + [(0, 0)] * (a.ndim - 2)
+    a = jnp.pad(a, pads).reshape((NBF,) + a.shape[2:])
+    # NB: a is now (NBF, ...) — one fewer dim — so the pad list needs
+    # a.ndim - 1 trailing no-op pairs (a single pair would broadcast to
+    # every axis and silently widen the row dimension too)
+    return jnp.pad(a, [(0, NBP - NBF)] + [(0, 0)] * (a.ndim - 1))
+
+
+def _row_tables(sym4, symtab, NB4, NBP, G4):
+    """Per-ROW decode tables: kernel row r (4 blocks) -> member 4r//NB4.
+    Returns (sym4_r (CELLS, SLC, G4, 128), stab_r (CELLS, 2, G4, 128))."""
+    B = sym4.shape[0]
+    CELLS = NBP // (4 * G4)
+    rows = NBP // 4
+    row_member = jnp.minimum(
+        (jnp.arange(rows, dtype=I32) * 4) // NB4, B - 1
+    )
+    SLC = max(1, sym4.shape[1] // 128)
+    s4 = sym4 if sym4.shape[1] >= 128 else jnp.pad(
+        sym4, ((0, 0), (0, 128 - sym4.shape[1]))
+    )
+    sym4_r = (
+        jnp.take(s4.reshape(B, SLC, 128), row_member, axis=0)
+        .reshape(CELLS, G4, SLC, 128)
+        .transpose(0, 2, 1, 3)
+    )
+    stab_r = (
+        jnp.take(symtab.reshape(B, 2, 128), row_member, axis=0)
+        .reshape(CELLS, G4, 2, 128)
+        .transpose(0, 2, 1, 3)
+    )
+    return sym4_r, stab_r, SLC
+
+
 def _stage(streams_ea, comp_words, uncomp_words, states, G):
-    """Common staging: end-aligned (B,NB,SW) -> lane-group chunk-major."""
+    """Common staging: end-aligned (B,NB,SW) -> flat-cell chunk-major."""
     B, NB, SW = streams_ea.shape
     assert SW % 32 == 0
     G4 = G // 4
-    NBP = -(-NB // G) * G
-    CELLS = NBP // G
-    BC = B * CELLS
+    NB4, NBF, NBP, CELLS = _flat_geom(B, NB, G)
     C2 = SW // 32
 
-    pb = (0, NBP - NB)
     ST = (
-        jnp.pad(streams_ea, ((0, 0), pb, (0, 0)))
-        .reshape(BC, G4, 4, C2, 32)
+        _flatten_blocks(streams_ea, NB, NB4, NBF, NBP)
+        .reshape(CELLS, G4, 4, C2, 32)
         .transpose(0, 3, 1, 2, 4)
-        .reshape(BC, C2, G4, 128)
+        .reshape(CELLS, C2, G4, 128)
     )
 
     def rep32(a):
         return jnp.repeat(
-            a.reshape(BC, G4, 4, 1), 32, axis=3
-        ).reshape(BC, G4, 128)
+            a.reshape(CELLS, G4, 4, 1), 32, axis=3
+        ).reshape(CELLS, G4, 128)
 
-    cw = rep32(jnp.pad(comp_words.astype(I32), ((0, 0), pb)))
-    uw = rep32(jnp.pad(uncomp_words.astype(I32), ((0, 0), pb)))
-    st = jnp.pad(states, ((0, 0), pb, (0, 0))).reshape(BC, G4, 128)
-    return ST, cw, uw, st, NBP, CELLS, C2
+    cw = rep32(_flatten_blocks(comp_words.astype(I32), NB, NB4, NBF, NBP))
+    uw = rep32(_flatten_blocks(uncomp_words.astype(I32), NB, NB4, NBF, NBP))
+    st = _flatten_blocks(states, NB, NB4, NBF, NBP).reshape(CELLS, G4, 128)
+    return ST, cw, uw, st, NB4, NBF, NBP, CELLS, C2
 
 
-@functools.partial(jax.jit, static_argnames=("prob_bits",))
+def _unflatten(out, B, NB, NB4, NBF, NBP, X):
+    """(CELLS, G4, 4, X*_NJ) kernel output -> (B, NB, X*_NJ)."""
+    return out.reshape(1, NBP, out.shape[-1])[:, :NBF].reshape(
+        B, NB4, out.shape[-1]
+    )[:, :NB]
+
+
+@functools.partial(jax.jit, static_argnames=("prob_bits", "interpret"))
 def decode_blocks_fused2(
     streams_ea: jax.Array,
     comp_words: jax.Array,
@@ -347,30 +400,28 @@ def decode_blocks_fused2(
     sym4: jax.Array,
     symtab: jax.Array,
     prob_bits: int,
+    interpret: bool = False,
 ) -> jax.Array:
     """Plain ANS decode. streams_ea: uint32[B, NB, SW] END-aligned (block
     words at [SW-cw32, SW), SW % 32 == 0); sym4: uint32[B, 2^pb/4] packed
     slot->sym; symtab: uint32[B, 256] = pdf | cdf<<16.
     Returns uint32[B, NB, BLOCK_SIZE/4] packed decoded bytes."""
     B, NB, SW = streams_ea.shape
-    G = _pick_g(NB)
+    NB4 = -(-NB // 4) * 4
+    G = _pick_g(B * NB4)
     G4 = G // 4
-    ST, cw, uw, st, NBP, CELLS, C2 = _stage(
+    ST, cw, uw, st, NB4, NBF, NBP, CELLS, C2 = _stage(
         streams_ea, comp_words, uncomp_words, states, G
     )
-    SLC = max(1, sym4.shape[1] // 128)
-    sym4_r = sym4.reshape(B, SLC, 128) if sym4.shape[1] >= 128 else jnp.pad(
-        sym4, ((0, 0), (0, 128 - sym4.shape[1]))
-    ).reshape(B, 1, 128)
-    stab_r = symtab.reshape(B, 2, 128)
+    sym4_r, stab_r, SLC = _row_tables(sym4, symtab, NB4, NBP, G4)
 
     cells = CELLS
-    out = pl.pallas_call(
+    out = pallas_call(
         functools.partial(
             _decode_kernel2, prob_bits=prob_bits, G4=G4, SW=SW, SLC=SLC,
             join=JOIN_NONE,
         ),
-        grid=(B, CELLS, _NJ),
+        grid=(1, CELLS, _NJ),
         in_specs=[
             pl.BlockSpec(
                 (None, G4, 128), lambda b, t, j: (b * cells + t, 0, 0),
@@ -385,11 +436,13 @@ def decode_blocks_fused2(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, SLC, 128), lambda b, t, j: (b, 0, 0),
+                (None, SLC, G4, 128),
+                lambda b, t, j: (b * cells + t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, 2, 128), lambda b, t, j: (b, 0, 0),
+                (None, 2, G4, 128),
+                lambda b, t, j: (b * cells + t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -403,7 +456,7 @@ def decode_blocks_fused2(
             lambda b, t, j: (b * cells + t, 0, 0, _NJ - 1 - j),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B * CELLS, G4, 4, _NJ * 128), U32),
+        out_shape=jax.ShapeDtypeStruct((CELLS, G4, 4, _NJ * 128), U32),
         scratch_shapes=[
             pltpu.VMEM((G4, 128), U32),
             pltpu.VMEM((G4, 128), I32),
@@ -412,11 +465,12 @@ def decode_blocks_fused2(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
+        interpret=interpret,
     )(st, cw, uw, sym4_r, stab_r, ST)
-    return out.reshape(B, NBP, BLOCK_SIZE // 4)[:, :NB]
+    return _unflatten(out, B, NB, NB4, NBF, NBP, BLOCK_SIZE // 4)
 
 
-@functools.partial(jax.jit, static_argnames=("prob_bits", "bf16"))
+@functools.partial(jax.jit, static_argnames=("prob_bits", "bf16", "interpret"))
 def decode_join16_fused(
     streams_ea: jax.Array,
     comp_words: jax.Array,
@@ -427,33 +481,31 @@ def decode_join16_fused(
     raw32: jax.Array,
     prob_bits: int,
     bf16: bool,
+    interpret: bool = False,
 ) -> jax.Array:
     """Fused ANS-decode + 16-bit float join (reference RUN_FUSED,
     GpuFloatDecompress.cuh:935-972). raw32: uint32[B, NB, 1024] block-major
     raw-section words (raw word k of block nb = bytes of floats 4k..4k+3).
     Returns uint32[B, NB, 2048]: final float words per block."""
     B, NB, SW = streams_ea.shape
-    G = _pick_g(NB)
+    NB4 = -(-NB // 4) * 4
+    G = _pick_g(B * NB4)
     G4 = G // 4
-    ST, cw, uw, st, NBP, CELLS, C2 = _stage(
+    ST, cw, uw, st, NB4, NBF, NBP, CELLS, C2 = _stage(
         streams_ea, comp_words, uncomp_words, states, G
     )
-    SLC = max(1, sym4.shape[1] // 128)
-    sym4_r = sym4.reshape(B, SLC, 128) if sym4.shape[1] >= 128 else jnp.pad(
-        sym4, ((0, 0), (0, 128 - sym4.shape[1]))
-    ).reshape(B, 1, 128)
-    stab_r = symtab.reshape(B, 2, 128)
-    raw_c = jnp.pad(raw32, ((0, 0), (0, NBP - NB), (0, 0))).reshape(
-        B * CELLS, G4, 4, _NJ * 128
+    sym4_r, stab_r, SLC = _row_tables(sym4, symtab, NB4, NBP, G4)
+    raw_c = _flatten_blocks(raw32, NB, NB4, NBF, NBP).reshape(
+        CELLS, G4, 4, _NJ * 128
     )
 
     cells = CELLS
-    out = pl.pallas_call(
+    out = pallas_call(
         functools.partial(
             _decode_kernel2, prob_bits=prob_bits, G4=G4, SW=SW, SLC=SLC,
             join=JOIN_BF16 if bf16 else JOIN_F16,
         ),
-        grid=(B, CELLS, _NJ),
+        grid=(1, CELLS, _NJ),
         in_specs=[
             pl.BlockSpec(
                 (None, G4, 128), lambda b, t, j: (b * cells + t, 0, 0),
@@ -468,11 +520,13 @@ def decode_join16_fused(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, SLC, 128), lambda b, t, j: (b, 0, 0),
+                (None, SLC, G4, 128),
+                lambda b, t, j: (b * cells + t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, 2, 128), lambda b, t, j: (b, 0, 0),
+                (None, 2, G4, 128),
+                lambda b, t, j: (b * cells + t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -491,7 +545,7 @@ def decode_join16_fused(
             lambda b, t, j: (b * cells + t, 0, 0, _NJ - 1 - j),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B * CELLS, G4, 4, _NJ * 256), U32),
+        out_shape=jax.ShapeDtypeStruct((CELLS, G4, 4, _NJ * 256), U32),
         scratch_shapes=[
             pltpu.VMEM((G4, 128), U32),
             pltpu.VMEM((G4, 128), I32),
@@ -500,11 +554,12 @@ def decode_join16_fused(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
+        interpret=interpret,
     )(st, cw, uw, sym4_r, stab_r, ST, raw_c)
-    return out.reshape(B, NBP, 2 * (BLOCK_SIZE // 4))[:, :NB]
+    return _unflatten(out, B, NB, NB4, NBF, NBP, 2 * (BLOCK_SIZE // 4))
 
 
-@functools.partial(jax.jit, static_argnames=("prob_bits",))
+@functools.partial(jax.jit, static_argnames=("prob_bits", "interpret"))
 def decode_join32_fused(
     streams_ea: jax.Array,
     comp_words: jax.Array,
@@ -515,36 +570,34 @@ def decode_join32_fused(
     sec1_32: jax.Array,
     sec2_32: jax.Array,
     prob_bits: int,
+    interpret: bool = False,
 ) -> jax.Array:
     """Fused ANS-decode + fp32 join (reference RUN_FUSED for kFloat32,
     GpuFloatDecompress.cuh:935-972). sec1_32: uint32[B, NB, 2048]
     block-major low-u16 pairs; sec2_32: uint32[B, NB, 1024] block-major
     third bytes. Returns uint32[B, NB, 4096]: final fp32 words."""
     B, NB, SW = streams_ea.shape
-    G = _pick_g(NB)
+    NB4 = -(-NB // 4) * 4
+    G = _pick_g(B * NB4)
     G4 = G // 4
-    ST, cw, uw, st, NBP, CELLS, C2 = _stage(
+    ST, cw, uw, st, NB4, NBF, NBP, CELLS, C2 = _stage(
         streams_ea, comp_words, uncomp_words, states, G
     )
-    SLC = max(1, sym4.shape[1] // 128)
-    sym4_r = sym4.reshape(B, SLC, 128) if sym4.shape[1] >= 128 else jnp.pad(
-        sym4, ((0, 0), (0, 128 - sym4.shape[1]))
-    ).reshape(B, 1, 128)
-    stab_r = symtab.reshape(B, 2, 128)
-    s1c = jnp.pad(sec1_32, ((0, 0), (0, NBP - NB), (0, 0))).reshape(
-        B * CELLS, G4, 4, _NJ * 256
+    sym4_r, stab_r, SLC = _row_tables(sym4, symtab, NB4, NBP, G4)
+    s1c = _flatten_blocks(sec1_32, NB, NB4, NBF, NBP).reshape(
+        CELLS, G4, 4, _NJ * 256
     )
-    s2c = jnp.pad(sec2_32, ((0, 0), (0, NBP - NB), (0, 0))).reshape(
-        B * CELLS, G4, 4, _NJ * 128
+    s2c = _flatten_blocks(sec2_32, NB, NB4, NBF, NBP).reshape(
+        CELLS, G4, 4, _NJ * 128
     )
 
     cells = CELLS
-    out = pl.pallas_call(
+    out = pallas_call(
         functools.partial(
             _decode_kernel2, prob_bits=prob_bits, G4=G4, SW=SW, SLC=SLC,
             join=JOIN_F32,
         ),
-        grid=(B, CELLS, _NJ),
+        grid=(1, CELLS, _NJ),
         in_specs=[
             pl.BlockSpec(
                 (None, G4, 128), lambda b, t, j: (b * cells + t, 0, 0),
@@ -559,11 +612,13 @@ def decode_join32_fused(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, SLC, 128), lambda b, t, j: (b, 0, 0),
+                (None, SLC, G4, 128),
+                lambda b, t, j: (b * cells + t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, 2, 128), lambda b, t, j: (b, 0, 0),
+                (None, 2, G4, 128),
+                lambda b, t, j: (b * cells + t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -587,7 +642,7 @@ def decode_join32_fused(
             lambda b, t, j: (b * cells + t, 0, 0, _NJ - 1 - j),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B * CELLS, G4, 4, _NJ * 512), U32),
+        out_shape=jax.ShapeDtypeStruct((CELLS, G4, 4, _NJ * 512), U32),
         scratch_shapes=[
             pltpu.VMEM((G4, 128), U32),
             pltpu.VMEM((G4, 128), I32),
@@ -596,5 +651,6 @@ def decode_join32_fused(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
+        interpret=interpret,
     )(st, cw, uw, sym4_r, stab_r, ST, s1c, s2c)
-    return out.reshape(B, NBP, 4 * (BLOCK_SIZE // 4))[:, :NB]
+    return _unflatten(out, B, NB, NB4, NBF, NBP, 4 * (BLOCK_SIZE // 4))

@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...core.config import pallas_call
+
 from ...core.constants import (
     ANS_START_STATE,
     ANS_STATE_BITS,
@@ -120,8 +122,6 @@ def _encode_kernel(
         states_s[...] = jnp.full((G4, 128), ANS_START_STATE, U32)
         nw_s[...] = jnp.zeros((G4, 128), I32)
 
-    tab = tab_ref[...]  # (2, 128) packed pdf|cdf|shift
-    mag = mag_ref[...]  # (2, 128) magic
     valid_n = val_ref[...]  # (G4, 128) int32: block byte count
     states = states_s[...]
     nw = nw_s[...]
@@ -137,12 +137,11 @@ def _encode_kernel(
     byte_sh = ((lane & 3) * 8).astype(U32)
     q32 = lane - (lane & 31)
     w3 = (lane & 31) >> 2
-    tab_bc = [
-        jnp.broadcast_to(tab[c][None, :], (G4, 128)) for c in range(2)
-    ]
-    mag_bc = [
-        jnp.broadcast_to(mag[c][None, :], (G4, 128)) for c in range(2)
-    ]
+    # PER-ROW tables (each G4 row's 4 blocks share one member, so the
+    # symbol->entry gather is an ordinary per-row take_along_axis; this is
+    # what lets one cell span many batch members — the bs=128 regime)
+    tab_bc = [tab_ref[c] for c in range(2)]
+    mag_bc = [mag_ref[c] for c in range(2)]
 
     words_out = []
     masks_out = []
@@ -241,6 +240,11 @@ def _popcount32(x: jax.Array) -> jax.Array:
     return ((x * U32(0x01010101)) >> U32(24)).astype(I32)
 
 
+def _ctz32(x: jax.Array) -> jax.Array:
+    """Count trailing zeros of uint32 lanes (32 for x == 0)."""
+    return _popcount32((~x) & (x - U32(1)))
+
+
 def _rank_select32(m: jax.Array, r: jax.Array) -> jax.Array:
     """Lane index of the r-th (0-based) set bit of each uint32 in m."""
     pos = jnp.zeros(m.shape, I32)
@@ -305,14 +309,19 @@ def _compact_kernel(
         lb0 = _rank_select32(m0, r0)
         cnt0 = _popcount32(m0)
 
+        # odd u16: same step -> next set bit after lb0 (ctz, ~10 ALU ops
+        # vs the 45-op general rank-select); different step -> r1 is
+        # always 0 (s1 is the next EMITTING step, so csum[s1] = cs0 +
+        # cnt0 = w0 + 1), i.e. the first set bit of m1.
         same = (r0 + 1) < cnt0
         s1 = jnp.where(
             same, s0,
             jnp.minimum(jnp.take_along_axis(nes, s0, axis=1), 127),
         )
-        cs1 = jnp.where(same, cs0, jnp.take_along_axis(csum, s1, axis=1))
         m1 = jnp.where(same, m0, jnp.take_along_axis(masks, s1, axis=1))
-        lb1 = _rank_select32(m1, w0 + 1 - cs1)
+        above = m0 >> ((lb0 + 1) & 31).astype(U32)  # lb0=31 => never same
+        nxt = lb0 + 1 + _ctz32(above)
+        lb1 = jnp.where(same, nxt, _ctz32(m1))
 
         flat0 = s0 * 32 + lb0
         flat1 = s1 * 32 + lb1
@@ -330,22 +339,25 @@ def _compact_kernel(
         )
 
         def fetch(flat, fchunk):
+            # a 256-u16 output chunk spans ~12 steps = ~2 source chunks of
+            # the step-major staging, so 4 static reads cover almost every
+            # call; wider (ragged-cell) windows fall to the fori tail
             fl = (flat >> 1) & 127
             w32 = jnp.zeros((G, 128), U32)
-            for t in range(8):
+            for t in range(4):
                 c = jnp.minimum(c_lo + t, 15)
                 g = jnp.take_along_axis(words_ref[c], fl, axis=1)
                 w32 = jnp.where(fchunk == c_lo + t, g, w32)
             ws[...] = w32
 
-            @pl.when(c_hi - c_lo >= 8)
+            @pl.when(c_hi - c_lo >= 4)
             def _():
                 def rd(c, _):
                     g = jnp.take_along_axis(words_ref[c], fl, axis=1)
                     ws[...] = jnp.where(fchunk == c, g, ws[...])
                     return 0
 
-                jax.lax.fori_loop(c_lo + 8, c_hi + 1, rd, 0, unroll=False)
+                jax.lax.fori_loop(c_lo + 4, c_hi + 1, rd, 0, unroll=False)
 
             v = ws[...]
             return jnp.where((flat & 1) == 1, v >> U32(16), v & U32(0xFFFF))
@@ -359,13 +371,14 @@ def _compact_kernel(
         out_ref[...] = jnp.zeros((G, 128), U32)
 
 
-@functools.partial(jax.jit, static_argnames=("prob_bits",))
+@functools.partial(jax.jit, static_argnames=("prob_bits", "interpret"))
 def encode_blocks_fused(
     x32: jax.Array,
     sizes: jax.Array,
     packed_table: jax.Array,
     magic_table: jax.Array,
     prob_bits: int,
+    interpret: bool = False,
 ):
     """Pallas path of ops.rans_encode.encode_blocks (same contract).
 
@@ -374,43 +387,69 @@ def encode_blocks_fused(
 
     Returns (states uint32[B, NB, 32], streams32 uint32[B, NB, SOW],
     num_words int32[B, NB]).
+
+    Block space is FLAT across the batch: every member's blocks (padded to
+    a multiple of 4 so kernel rows never straddle members) are concatenated
+    and tiled into shared G-block cells with per-row encode tables. A
+    128-member batch of 32-block rows fills (G4, 128) vectors exactly like
+    one 4096-block member — the reference's batch regime
+    (dietgpu/benchmark.py:151-223) costs the same per byte as bs=1.
     """
     B, padded_w = x32.shape
     WPB = BLOCK_SIZE // 4
     NB = padded_w // WPB
-    G = 256 if NB >= 256 else max(8, -(-NB // 8) * 8)
+    NB4 = -(-NB // 4) * 4  # per-member block count, row-aligned
+    NBF = B * NB4  # flat block count
+    G = 256 if NBF >= 256 else max(8, -(-NBF // 8) * 8)
     G4 = G // 4
-    NBP = -(-NB // G) * G
+    NBP = -(-NBF // G) * G
     CELLS = NBP // G
 
-    xp = jnp.pad(x32, ((0, 0), (0, (NBP - NB) * WPB)))
+    xf = jnp.pad(x32, ((0, 0), (0, (NB4 - NB) * WPB))).reshape(
+        1, NBF * WPB
+    )
+    xp = jnp.pad(xf, ((0, 0), (0, (NBP - NBF) * WPB)))
     # phase-A symbol layout is STEP-major: [cell, s, g4, q*32 + ds*8 + w3]
     # = word (4s+ds)*8+w3 of block (g4, q), so each step's byte
     # distribution in the kernel is one static gather.
     sym = (
-        xp.reshape(B * CELLS, G4, 4, 32, 4, 8)
+        xp.reshape(CELLS, G4, 4, 32, 4, 8)
         .transpose(0, 3, 1, 2, 4, 5)
-        .reshape(B * CELLS, 32, G4, 128)
+        .reshape(CELLS, 32, G4, 128)
     )
 
-    blk = jnp.arange(NBP, dtype=I32)[None, :]
+    blk = jnp.arange(NB4, dtype=I32)[None, :]
     valid_n = jnp.clip(
         sizes.astype(I32)[:, None] - blk * BLOCK_SIZE, 0, BLOCK_SIZE
-    )
-    # (B*CELLS, G4, 128): per-lane copy of its block's byte count
+    )  # (B, NB4); member-padding blocks clip to 0 = dead
+    vnf = jnp.pad(valid_n.reshape(1, NBF), ((0, 0), (0, NBP - NBF)))
+    # (CELLS, G4, 128): per-lane copy of its block's byte count
     vn = (
-        valid_n.reshape(B * CELLS, G4, 4, 1)
+        vnf.reshape(CELLS, G4, 4, 1)
         .repeat(32, axis=3)
-        .reshape(B * CELLS, G4, 128)
+        .reshape(CELLS, G4, 128)
     )
 
-    tab2 = packed_table.reshape(B, 2, 128)
-    mag2 = magic_table.reshape(B, 2, 128)
+    # per-ROW tables: kernel row r (4 blocks) belongs to member 4r//NB4
+    rows = NBP // 4
+    row_member = jnp.minimum(
+        (jnp.arange(rows, dtype=I32) * 4) // NB4, B - 1
+    )
+    tab2 = (
+        jnp.take(packed_table.reshape(B, 2, 128), row_member, axis=0)
+        .reshape(CELLS, G4, 2, 128)
+        .transpose(0, 2, 1, 3)
+    )  # (CELLS, 2, G4, 128)
+    mag2 = (
+        jnp.take(magic_table.reshape(B, 2, 128), row_member, axis=0)
+        .reshape(CELLS, G4, 2, 128)
+        .transpose(0, 2, 1, 3)
+    )
 
     cells = CELLS
-    grid_a = (B, CELLS, _NJ)
+    grid_a = (1, CELLS, _NJ)
 
-    words_d, masks_d, st_d, nw_d = pl.pallas_call(
+    words_d, masks_d, st_d, nw_d = pallas_call(
         functools.partial(_encode_kernel, prob_bits=prob_bits, G4=G4),
         grid=grid_a,
         in_specs=[
@@ -424,11 +463,11 @@ def encode_blocks_fused(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, 2, 128), lambda b, t, j: (b, 0, 0),
+                (None, 2, G4, 128), lambda b, t, j: (b * cells + t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, 2, 128), lambda b, t, j: (b, 0, 0),
+                (None, 2, G4, 128), lambda b, t, j: (b * cells + t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -454,11 +493,11 @@ def encode_blocks_fused(
         ],
         out_shape=[
             jax.ShapeDtypeStruct(
-                (B * CELLS, 2 * _NJ, G4, 4, 128), U32
+                (CELLS, 2 * _NJ, G4, 4, 128), U32
             ),
-            jax.ShapeDtypeStruct((B * CELLS, _NJ, G4, _UNROLL * 4), U32),
-            jax.ShapeDtypeStruct((B * CELLS, G4, 128), U32),
-            jax.ShapeDtypeStruct((B * CELLS, G4, 4), I32),
+            jax.ShapeDtypeStruct((CELLS, _NJ, G4, _UNROLL * 4), U32),
+            jax.ShapeDtypeStruct((CELLS, G4, 128), U32),
+            jax.ShapeDtypeStruct((CELLS, G4, 4), I32),
         ],
         scratch_shapes=[
             pltpu.VMEM((G4, 128), U32),
@@ -467,19 +506,20 @@ def encode_blocks_fused(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
+        interpret=interpret,
     )(sym, vn, tab2, mag2)
 
     # phase-A words are chunk-major u16 pairs: [cell, chunk, g, lane]
-    words_pb = words_d.reshape(B * CELLS, 16, G, 128)
+    words_pb = words_d.reshape(CELLS, 16, G, 128)
     # masks: [cell, j, g4, u*4 + gb] -> [cell, g, 128 steps] (tiny array)
     masks_pb = (
-        masks_d.reshape(B * CELLS, _NJ, G4, _UNROLL, 4)
+        masks_d.reshape(CELLS, _NJ, G4, _UNROLL, 4)
         .transpose(0, 2, 4, 1, 3)
-        .reshape(B * CELLS, G, STEPS_PER_BLOCK)
+        .reshape(CELLS, G, STEPS_PER_BLOCK)
     )
 
     # per-cell upper bound on emitted u16 words (drives phase-B early-out)
-    nwmax = jnp.max(nw_d.reshape(B * CELLS, G), axis=1).astype(I32)
+    nwmax = jnp.max(nw_d.reshape(CELLS, G), axis=1).astype(I32)
 
     grid_b = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -507,22 +547,25 @@ def encode_blocks_fused(
             pltpu.VMEM((G, 128), U32),
         ],
     )
-    streams_t = pl.pallas_call(
+    streams_t = pallas_call(
         functools.partial(_compact_kernel, G=G),
         grid_spec=grid_b,
-        out_shape=jax.ShapeDtypeStruct((B * CELLS, G, _NCH * 128), U32),
+        out_shape=jax.ShapeDtypeStruct((CELLS, G, _NCH * 128), U32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
+        interpret=interpret,
     )(nwmax, words_pb, masks_pb)
 
-    streams32 = streams_t.reshape(B, NBP, _NCH * 128)[:, :NB]
+    streams32 = streams_t.reshape(1, NBP, _NCH * 128)[:, :NBF].reshape(
+        B, NB4, _NCH * 128
+    )[:, :NB]
 
     # states back to (B, NB, 32): [cell, g4, gb*32+lb] -> [b, nb, 32]
     states = (
-        st_d.reshape(B * CELLS, G4, 4, 32)
-        .reshape(B * CELLS, G, 32)
-        .reshape(B, NBP, 32)[:, :NB]
+        st_d.reshape(CELLS, G4, 4, 32)
+        .reshape(1, NBP, 32)[:, :NBF]
+        .reshape(B, NB4, 32)[:, :NB]
     )
-    num_words = nw_d.reshape(B, NBP)[:, :NB]
+    num_words = nw_d.reshape(1, NBP)[:, :NBF].reshape(B, NB4)[:, :NB]
     return states, streams32, num_words

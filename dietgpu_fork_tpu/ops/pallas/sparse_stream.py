@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...core.config import pallas_call
+
 I32 = jnp.int32
 U32 = jnp.uint32
 
@@ -292,7 +294,7 @@ def compact_by_bitmap(
         )
         out_shape = jax.ShapeDtypeStruct((B * T, _R, 2, 128), U32)
 
-    staging = pl.pallas_call(
+    staging = pallas_call(
         functools.partial(_compact_kernel, pair=pair),
         grid=(B, T),
         in_specs=[
@@ -361,7 +363,7 @@ def pack_u16_pairs(items32: jax.Array) -> jax.Array:
     x = jnp.pad(items32, ((0, 0), (0, T * RW * 128 - N))).reshape(
         B * T, RW // 2, 2, 128
     )
-    out = pl.pallas_call(
+    out = pallas_call(
         _pack_pairs_kernel,
         grid=(B * T,),
         in_specs=[
@@ -454,7 +456,7 @@ def expand_by_bitmap(
         )
         out_shape = jax.ShapeDtypeStruct((B * T, out_rows, 128), U32)
 
-    out = pl.pallas_call(
+    out = pallas_call(
         functools.partial(_expand_kernel, pair=pair, NZR=NZR),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,

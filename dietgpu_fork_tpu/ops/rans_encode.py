@@ -23,6 +23,8 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax
+
+from ..core.config import use_pallas
 import jax.numpy as jnp
 
 from ..core.constants import (
@@ -63,7 +65,7 @@ def encode_blocks(
                  shape[2]; the CPU path keeps a trailing scatter-dump slot)
       num_words: int32[B, NB]       emitted uint16 words per block
     """
-    if jax.default_backend() == "tpu":
+    if use_pallas():
         from .pallas.rans_encode_fused import encode_blocks_fused
 
         return encode_blocks_fused(
