@@ -36,7 +36,9 @@ from ..core.constants import FloatType
 from .bitops import u32
 
 U32 = jnp.uint32
-_B0 = u32(0xFF)
+# plain int, not u32(): a jnp scalar at module scope would initialize the
+# JAX backend at import time (breaking late jax_platforms overrides)
+_B0 = 0xFF
 
 
 def _rotl16x2(x: jax.Array) -> jax.Array:

@@ -523,7 +523,7 @@ def encode_blocks_fused(
 
     grid_b = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, CELLS, _NCH),
+        grid=(1, CELLS, _NCH),
         in_specs=[
             pl.BlockSpec(
                 (None, 16, G, 128),
