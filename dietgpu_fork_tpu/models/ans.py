@@ -59,77 +59,7 @@ def _layout(nb: jax.Array):
     return bw_off, data_off
 
 
-def _assemble_archives(
-    hdr8: jax.Array,
-    pdf: jax.Array,
-    states: jax.Array,
-    uncomp_w: jax.Array,
-    num_words: jax.Array,
-    prefix: jax.Array,
-    streams32: jax.Array,
-    nb: jax.Array,
-    total_words: jax.Array,
-    out_words: int,
-) -> jax.Array:
-    """Archive layout as one ragged runs-merge (ops.pallas.merge).
-
-    Every member contributes 2 + NB contiguous runs, already ordered by
-    destination: [header+pdf+states] at the row start, blockWords pairs at
-    the dynamic bw_off, then each live block's compressed words at
-    data_off + alignedPrefix/2. The merge engine places them all and leaves
-    zeros elsewhere (the reference's ansEncodeCoalesce,
-    GpuANSEncode.cuh:511-624)."""
-    from ..ops.pallas.merge import runs_merge
-
-    B, NB = num_words.shape
-    K1 = streams32.shape[2]  # staged stream stride (words32)
-    bw_off, data_off = _layout(nb)
-    row0 = jnp.arange(B, dtype=I32) * out_words
-
-    # staging sections, concatenated into one flat source
-    probs16 = pdf[:, 0::2] | (pdf[:, 1::2] << u32(16))
-    meta_src = jnp.concatenate(
-        [hdr8, probs16, states.reshape(B, NB * 32)], axis=1
-    )  # (B, 136 + 32*NB)
-    MW = meta_src.shape[1]
-
-    bw_x = (uncomp_w.astype(U32) << u32(16)) | num_words.astype(U32)
-    live = jnp.arange(NB, dtype=I32)[None, :] < nb[:, None]
-    pairs = jnp.stack(
-        [jnp.where(live, bw_x, u32(0)),
-         jnp.where(live, prefix.astype(U32), u32(0))], axis=2
-    ).reshape(B, 2 * NB)
-    PW = pairs.shape[1]
-
-    src_flat = jnp.concatenate(
-        [meta_src.reshape(-1), pairs.reshape(-1), streams32.reshape(-1)]
-    )
-    off_pairs = B * MW
-    off_streams = off_pairs + B * PW
-
-    b_ar = jnp.arange(B, dtype=I32)
-    # run family A: header + pdf + live states
-    dstA = row0[:, None]
-    srcA = (b_ar * MW)[:, None]
-    lenA = (_META_WORDS + 32 * nb)[:, None]
-    # run family B: blockWords pairs (pad pair left zero by the merge)
-    dstB = (row0 + bw_off)[:, None]
-    srcB = (off_pairs + b_ar * PW)[:, None]
-    lenB = (2 * nb)[:, None]
-    # run family C: per-block compressed streams
-    dstC = row0[:, None] + data_off[:, None] + (prefix.astype(I32) >> 1)
-    srcC = off_streams + (b_ar[:, None] * NB + jnp.arange(NB, dtype=I32)) * K1
-    lenC = jnp.where(live, (num_words + 1) >> 1, 0)
-
-    dst = jnp.concatenate([dstA, dstB, dstC], axis=1).reshape(-1)
-    src = jnp.concatenate([srcA, srcB, srcC], axis=1).reshape(-1)
-    lens = jnp.concatenate([lenA, lenB, lenC], axis=1).reshape(-1)
-
-    out = runs_merge(src_flat, dst, src, lens, B * out_words)
-    return out.reshape(B, out_words)
-
-
-def ans_encode_core(
+def ans_encode_sections(
     x32: jax.Array,
     sizes: jax.Array,
     prob_bits: int = 10,
@@ -137,21 +67,19 @@ def ans_encode_core(
     hist: Optional[jax.Array] = None,
     s_bytes: Optional[int] = None,
     hist_totals: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, jax.Array]:
-    """Compress batch rows to coalesced ANS archives in uint32 words.
+):
+    """Encode and return the archive as runs instead of merging them.
 
-    x32: uint32[B, ceil(S/4)] packed row bytes (little-endian); sizes:
-    int32[B] valid byte counts; s_bytes: row byte capacity (default 4*W).
-
-    hist: optional caller-supplied uint32[B, 256] byte histograms — skips
-    the statistics pass, as every reference encode entry point allows
-    (GpuANSCodec.h:82-84, GpuANSEncode.cuh:688-697). By reference semantics
-    the histogram is normalized against the member's own byte count;
-    hist_totals overrides that normalization total (int32[B]) so several
-    shards can quantize one shared histogram identically — the hook for the
-    distributed shared-frequency-table mode (parallel/sharded.py).
-
-    Returns (out32 uint32[B, CW_tight], comp_bytes uint32[B]).
+    Returns (sections, dst_rel, src_rel, lens, comp_bytes) where
+    ``sections`` is a list of uint32 arrays whose flattened concatenation is
+    the run source blob, and (dst_rel, src_rel, lens) are int32[B, 2+NB]
+    per-member run columns: dst_rel relative to the member's archive word
+    start (ascending within a member), src_rel relative to the start of the
+    blob. Callers place the blob anywhere in a larger source buffer and the
+    archive anywhere in a larger destination (the float codec fuses this
+    into its own archive merge, saving a full intermediate archive
+    write+read — the reference instead points the ANS encoder's OutProvider
+    at the float archive, GpuFloatCompress.cuh:807-869).
     """
     B, W = x32.shape
     S = s_bytes if s_bytes is not None else 4 * W
@@ -204,8 +132,77 @@ def ans_encode_core(
         axis=1,
     )
 
-    _, data_off = _layout(nb)
+    bw_off, data_off = _layout(nb)
     comp_bytes = (4 * data_off + 2 * total_words.astype(I32)).astype(U32)
+
+    # run source blob (the ansEncodeCoalesce layout, GpuANSEncode.cuh:511-624)
+    probs16 = pdf[:, 0::2] | (pdf[:, 1::2] << u32(16))
+    meta_src = jnp.concatenate(
+        [hdr8, probs16, states.reshape(B, NB * 32)], axis=1
+    )
+    MW = meta_src.shape[1]
+    bw_x = (uncomp_w.astype(U32) << u32(16)) | num_words.astype(U32)
+    live = blk < nb[:, None]
+    pairs = jnp.stack(
+        [jnp.where(live, bw_x, u32(0)),
+         jnp.where(live, prefix.astype(U32), u32(0))], axis=2
+    ).reshape(B, 2 * NB)
+    PW = pairs.shape[1]
+    K1 = streams32.shape[2]
+    sections = [meta_src, pairs, streams32.reshape(B, NB * K1)]
+    off_pairs = B * MW
+    off_streams = off_pairs + B * PW
+
+    b_ar = jnp.arange(B, dtype=I32)
+    dstA = jnp.zeros((B, 1), I32)
+    srcA = (b_ar * MW)[:, None]
+    lenA = (_META_WORDS + 32 * nb)[:, None]
+    dstB = bw_off[:, None]
+    srcB = (off_pairs + b_ar * PW)[:, None]
+    lenB = (2 * nb)[:, None]
+    dstC = data_off[:, None] + (prefix.astype(I32) >> 1)
+    srcC = off_streams + (b_ar[:, None] * NB + blk) * K1
+    lenC = jnp.where(live, (num_words + 1) >> 1, 0)
+
+    dst_rel = jnp.concatenate([dstA, dstB, dstC], axis=1)
+    src_rel = jnp.concatenate([srcA, srcB, srcC], axis=1)
+    lens = jnp.concatenate([lenA, lenB, lenC], axis=1)
+    return sections, dst_rel, src_rel, lens, comp_bytes
+
+
+def ans_encode_core(
+    x32: jax.Array,
+    sizes: jax.Array,
+    prob_bits: int = 10,
+    use_checksum: bool = False,
+    hist: Optional[jax.Array] = None,
+    s_bytes: Optional[int] = None,
+    hist_totals: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Compress batch rows to coalesced ANS archives in uint32 words.
+
+    x32: uint32[B, ceil(S/4)] packed row bytes (little-endian); sizes:
+    int32[B] valid byte counts; s_bytes: row byte capacity (default 4*W).
+
+    hist: optional caller-supplied uint32[B, 256] byte histograms — skips
+    the statistics pass, as every reference encode entry point allows
+    (GpuANSCodec.h:82-84, GpuANSEncode.cuh:688-697). By reference semantics
+    the histogram is normalized against the member's own byte count;
+    hist_totals overrides that normalization total (int32[B]) so several
+    shards can quantize one shared histogram identically — the hook for the
+    distributed shared-frequency-table mode (parallel/sharded.py).
+
+    Returns (out32 uint32[B, CW_tight], comp_bytes uint32[B]).
+    """
+    from ..ops.pallas.merge import runs_merge
+
+    B, W = x32.shape
+    S = s_bytes if s_bytes is not None else 4 * W
+    NB = max(1, -(-S // BLOCK_SIZE))
+    sections, dst_rel, src_rel, lens, comp_bytes = ans_encode_sections(
+        x32, sizes, prob_bits, use_checksum, hist, s_bytes=S,
+        hist_totals=hist_totals,
+    )
 
     # tight buffer: metadata + fully incompressible streams for NB blocks
     tight_need = (
@@ -213,11 +210,18 @@ def ans_encode_core(
         + 4 * MAX_BLOCK_WORDS32 * NB
     )
     tight = min(max_compressed_size(S), -(-tight_need // 16) * 16)
-    out32 = _assemble_archives(
-        hdr8, pdf, states, uncomp_w, num_words, prefix, streams32, nb,
-        total_words.astype(I32), tight // 4,
+    out_words = tight // 4
+
+    src_flat = jnp.concatenate([s.reshape(-1) for s in sections])
+    row0 = (jnp.arange(B, dtype=I32) * out_words)[:, None]
+    out = runs_merge(
+        src_flat,
+        (dst_rel + row0).reshape(-1),
+        src_rel.reshape(-1),
+        lens.reshape(-1),
+        B * out_words,
     )
-    return out32, comp_bytes
+    return out.reshape(B, out_words), comp_bytes
 
 
 def ans_encode_padded(

@@ -35,7 +35,7 @@ from ..core.constants import (
 from ..ops.bitops import bitcast_u32_to_u8, u32
 from ..ops.checksum import checksum_packed, mask_packed_bytes
 from ..ops.float_split import join_packed, split_hist_packed
-from .ans import ans_decode_core, ans_encode_core
+from .ans import ans_decode_core, ans_encode_sections
 
 I32 = jnp.int32
 U32 = jnp.uint32
@@ -106,16 +106,21 @@ def float_compress_core(
     # ANS-encode each exponent plane (independent archives; fp64 has two —
     # RUN_ANS, GpuFloatCompress.cuh:807-869). One exponent byte per float
     # per plane, so the plane byte capacity is S_cap; the histograms were
-    # accumulated during the split.
-    segs = []
+    # accumulated during the split. The encoders return RUNS, not merged
+    # buffers: the ANS archives are placed directly into the float archive
+    # by the single merge below (the reference's FloatANSOutProvider points
+    # the encoder at the float archive the same way,
+    # GpuFloatCompress.cuh:807-869).
+    seg_parts = []
     seg_bytes = []
     for plane, hist in zip(comp_planes, hists):
-        a32, ab = ans_encode_core(
+        parts = ans_encode_sections(
             plane, n, prob_bits, use_checksum=False, s_bytes=S_cap,
             hist=hist,
         )
-        segs.append(a32)
-        seg_bytes.append(ab.astype(I32))
+        seg_parts.append(parts)
+        seg_bytes.append(parts[4].astype(I32))
+    nsegs = len(seg_parts)
 
     # raw sections: mask bytes beyond each member's count, pad to the
     # 16B-aligned capacity (split_packed already emits archive layout)
@@ -132,7 +137,7 @@ def float_compress_core(
         )
 
     s1w, s2w = _section_word_counts(n, ft)
-    first_seg = seg_bytes[0] if len(segs) > 1 else jnp.zeros((B,), I32)
+    first_seg = seg_bytes[0] if nsegs > 1 else jnp.zeros((B,), I32)
     hdr = jnp.stack(
         [
             jnp.full((B,), _FLOAT_MAGIC_VERSION, U32),
@@ -151,44 +156,66 @@ def float_compress_core(
     o1 = 8 + s1w
     o2 = o1 + s2w
     a1 = o2 + (seg_bytes[0] >> 2)
-    end = a1 + ((seg_bytes[1] >> 2) if len(segs) > 1 else 0)
+    end = a1 + ((seg_bytes[1] >> 2) if nsegs > 1 else 0)
 
     s1w_cap, s2w_cap = _section_word_counts(S_cap, ft)
-    tight = 4 * (8 + s1w_cap + s2w_cap) + sum(s.shape[1] * 4 for s in segs)
+    from ..core.constants import max_compressed_size as _mcs
+    from ..ops.rans_encode import MAX_BLOCK_WORDS32 as _MBW
+
+    NBp = max(1, -(-S_cap // BLOCK_SIZE))
+    ans_tight = min(
+        _mcs(S_cap),
+        -(-(4 * 136 + 128 * NBp + 8 * ((NBp + 1) // 2 * 2)
+            + 4 * _MBW * NBp) // 16) * 16,
+    )
+    tight = 4 * (8 + s1w_cap + s2w_cap) + nsegs * ans_tight
     CWf = min(max_float_compressed_size(ft, S_cap), tight) // 4
 
-    # archive assembly: 3-5 contiguous runs per member, ordered by dst
-    # (header, raw section(s), ANS segment(s)) — one ragged runs-merge
+    # archive assembly: ONE ragged runs-merge per batch placing the float
+    # header, raw section(s), and every ANS segment's header/blockWords/
+    # per-block stream runs, ordered by destination within each member
     from ..ops.pallas.merge import runs_merge
 
-    sections = [hdr] + packed_secs + segs
-    widths = [s.shape[1] for s in sections]
-    src_flat = jnp.concatenate([s.reshape(-1) for s in sections])
-    src_base = []
-    acc = 0
-    for w in widths:
-        src_base.append(acc)
-        acc += B * w
+    own_sections = [hdr] + packed_secs
+    all_sections = list(own_sections)
+    seg_src_base = []
+    acc = sum(s.size for s in own_sections)
+    for parts in seg_parts:
+        seg_src_base.append(acc)
+        all_sections.extend(parts[0])
+        acc += sum(s.size for s in parts[0])
+    src_flat = jnp.concatenate([s.reshape(-1) for s in all_sections])
 
     b_ar = jnp.arange(B, dtype=I32)
     row0 = b_ar * CWf
     zeros = jnp.zeros((B,), I32)
-    if len(packed_secs) == 1:
-        dst_cols = [zeros, zeros + 8, o2]
-        len_cols = [zeros + 8, s1w, seg_bytes[0] >> 2]
-    else:
-        dst_cols = [zeros, zeros + 8, o1, o2]
-        len_cols = [zeros + 8, s1w, s2w, seg_bytes[0] >> 2]
-    if len(segs) > 1:
-        dst_cols.append(a1)
-        len_cols.append(seg_bytes[1] >> 2)
+    own_widths = [s.shape[1] for s in own_sections]
+    own_base = []
+    acc0 = 0
+    for w in own_widths:
+        own_base.append(acc0)
+        acc0 += B * w
 
-    dst = jnp.stack([row0 + d for d in dst_cols], axis=1).reshape(-1)
-    src = jnp.stack(
-        [src_base[i] + b_ar * widths[i] for i in range(len(sections))],
-        axis=1,
-    ).reshape(-1)
-    lens = jnp.stack(len_cols, axis=1).reshape(-1)
+    if len(packed_secs) == 1:
+        dst_cols = [zeros[:, None], (zeros + 8)[:, None]]
+        len_cols = [(zeros + 8)[:, None], s1w[:, None]]
+    else:
+        dst_cols = [zeros[:, None], (zeros + 8)[:, None], o1[:, None]]
+        len_cols = [(zeros + 8)[:, None], s1w[:, None], s2w[:, None]]
+    src_cols = [
+        (own_base[i] + b_ar * own_widths[i])[:, None]
+        for i in range(len(own_sections))
+    ]
+    for si, parts in enumerate(seg_parts):
+        a_dst, a_src, a_len = parts[1], parts[2], parts[3]
+        base_col = o2 if si == 0 else a1
+        dst_cols.append(a_dst + base_col[:, None])
+        src_cols.append(a_src + seg_src_base[si])
+        len_cols.append(a_len)
+
+    dst = (jnp.concatenate(dst_cols, axis=1) + row0[:, None]).reshape(-1)
+    src = jnp.concatenate(src_cols, axis=1).reshape(-1)
+    lens = jnp.concatenate(len_cols, axis=1).reshape(-1)
 
     out = runs_merge(src_flat, dst, src, lens, B * CWf).reshape(B, CWf)
 

@@ -109,6 +109,12 @@ def _xor_accum(x_ref, accx, first, base_word, nbytes):
     xm = jax.lax.cond(
         base_word + cell_words > (nbytes + 3) // 4, masked, lambda: x
     )
+    # tree-fold to (8, 128); adaptive cell rows need not be a power of two
+    npow = 8
+    while npow < xm.shape[0]:
+        npow *= 2
+    if npow != xm.shape[0]:
+        xm = jnp.pad(xm, ((0, npow - xm.shape[0]), (0, 0)))
     while xm.shape[0] > 8:
         h = xm.shape[0] // 2
         xm = xm[:h] ^ xm[h:]
@@ -206,8 +212,11 @@ def _split16_hist_kernel(n_ref, x_ref, exp_ref, raw_ref, hist_ref, cs_ref,
 
 def _finish_csum(x_ref, n_ref, cs_ref, accx, ws):
     t = pl.program_id(1)
+    cell_words = 1
+    for d in x_ref.shape:
+        cell_words *= d
     _xor_accum(
-        x_ref, accx, t == 0, t * _ROWS * 128,
+        x_ref, accx, t == 0, t * cell_words,
         n_ref[pl.program_id(0)] * ws,
     )
 
@@ -232,7 +241,7 @@ def _split64_hist_kernel(n_ref, x_ref, exp0_ref, exp1_ref, sec1_ref,
     n = n_ref[pl.program_id(0)]
     _hist_accum(exp0_ref[...], acc0, t == 0, t * R * 512, n)
     _hist_accum(exp1_ref[...], acc1, t == 0, t * R * 512, n)
-    _xor_accum(x_ref, accx, t == 0, t * _ROWS * 128, n * 8)
+    _xor_accum(x_ref, accx, t == 0, t * R * 8 * 128, n * 8)
 
     @pl.when(t == pl.num_programs(1) - 1)
     def _():
@@ -358,6 +367,15 @@ def _join64_kernel(exp0_ref, exp1_ref, sec1_ref, sec2_ref, out_ref):
 # ---------------------------------------------------------------------------
 
 
+def _pick_rows(W):
+    """Cell rows: full 1024-row (512 KiB) cells for large members, shrunk
+    (multiple of 8 rows) to the member size so small batch members don't
+    pay for cell padding — the reference's bs=128 x 512Ki protocol would
+    otherwise split half-empty cells."""
+    need = -(-W // 128)
+    return min(_ROWS, max(8, -(-need // 8) * 8))
+
+
 def _cells(x, rows):
     """(B, W) -> padded (B*T, rows, 128) cell view plus (B, T, Wp)."""
     B, W = x.shape
@@ -376,11 +394,12 @@ def _vmem(*shape_dtypes):
 @functools.partial(jax.jit, static_argnames=("float_type",))
 def split_packed_tpu(data32, float_type: FloatType):
     ft = FloatType(float_type)
-    x, B, T, Wp = _cells(data32, _ROWS)
+    rows = _pick_rows(data32.shape[1])
+    x, B, T, Wp = _cells(data32, rows)
     C = B * T
-    R2 = _ROWS // 2
-    R4 = _ROWS // 4
-    R8 = _ROWS // 8
+    R2 = rows // 2
+    R4 = rows // 4
+    R8 = rows // 8
 
     spec_in = pl.BlockSpec(
         (None, R2, 2, 128), lambda c: (c, 0, 0, 0), memory_space=pltpu.VMEM
@@ -475,11 +494,12 @@ def split_hist_packed_tpu(data32, n_floats, float_type: FloatType):
     from .histogram_mxu import _extract
 
     ft = FloatType(float_type)
-    x, B, T, Wp = _cells(data32, _ROWS)
+    rows = _pick_rows(data32.shape[1])
+    x, B, T, Wp = _cells(data32, rows)
     C = B * T
-    R2 = _ROWS // 2
-    R4 = _ROWS // 4
-    R8 = _ROWS // 8
+    R2 = rows // 2
+    R4 = rows // 4
+    R8 = rows // 8
     n32 = n_floats.astype(I32)
     cs_spec = pl.BlockSpec(
         (None, 8, 128), lambda b, t, n_: (b, 0, 0),
@@ -623,9 +643,12 @@ def _pad_cells2(p, B, rows):
 def join_packed_tpu(comp, raw, float_type: FloatType):
     ft = FloatType(float_type)
     B = comp[0].shape[0]
-    R2 = _ROWS // 2
-    R4 = _ROWS // 4
-    R8 = _ROWS // 8
+    # plane words per cell = rows*128/f (f = output words per plane word),
+    # so cells shrink with the member exactly like the split side
+    rows = _pick_rows(comp[0].shape[1] * {1: 2, 2: 2, 3: 4, 4: 8}[int(ft)])
+    R2 = rows // 2
+    R4 = rows // 4
+    R8 = rows // 8
 
     def in2(r):
         return pl.BlockSpec(

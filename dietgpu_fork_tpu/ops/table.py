@@ -48,28 +48,29 @@ def normalize_probs_batched(
     q = jnp.where(nonempty, q, u32(0))
     qsum = q.astype(I32).sum(axis=1)  # <= 2^16 * 256, fits easily
 
-    # Descending sort of (qProb << 16 | sym); keys unique so ordering is exact
-    # (GpuANSStatistics.cuh:229-241).
-    syms = jnp.arange(NUM_SYMBOLS, dtype=U32)
-    packed = (q << u32(16)) | syms[None, :]
-    packed_sorted = jnp.flip(jnp.sort(packed, axis=1), axis=1)
-    sorted_sym = (packed_sorted & u32(0xFFFF)).astype(I32)
-    sorted_prob = (packed_sorted >> u32(16)).astype(I32)
-
+    # The reference sorts (qProb << 16 | sym) descending and walks the sorted
+    # array (GpuANSStatistics.cuh:229-315). Both corrections only depend on
+    # each element's RANK, so they run here in symbol order with compare-sum
+    # ranks instead — XLA sort lowers to serial gather chains on TPU and was
+    # the bottleneck of the whole table build.
+    syms = jnp.arange(NUM_SYMBOLS, dtype=I32)
+    prob = q.astype(I32)
     diff = target - qsum  # int32[B]
 
     # diff > 0: +1 to symbols whose *id* < remaining diff, in rounds of 256
-    # (reference quirk, GpuANSStatistics.cuh:261-273). Closed form:
+    # (reference quirk, GpuANSStatistics.cuh:261-273) — rank-independent.
     pos_diff = jnp.maximum(diff, 0)
     add = (pos_diff[:, None] // NUM_SYMBOLS) + (
-        sorted_sym < (pos_diff[:, None] % NUM_SYMBOLS)
+        syms[None, :] < (pos_diff[:, None] % NUM_SYMBOLS)
     ).astype(I32)
-    sorted_prob = sorted_prob + jnp.where(diff[:, None] > 0, add, 0)
+    prob = prob + jnp.where(diff[:, None] > 0, add, 0)
 
-    # diff < 0: iteratively subtract 1 from the smallest values > 1
-    # (GpuANSStatistics.cuh:274-315). Data-dependent round count -> while_loop.
+    # diff < 0: iteratively subtract 1 from the `it` smallest values > 1,
+    # ties broken by symbol id via the packed sort key
+    # (GpuANSStatistics.cuh:274-315). Elements with prob > 1 are exactly the
+    # top of the descending sort, so "positions [num_gt1-it, num_gt1)" is
+    # "ascending key rank < it among prob > 1".
     neg_diff = jnp.maximum(-diff, 0)
-    ranks = jnp.arange(NUM_SYMBOLS, dtype=I32)
 
     def cond(state):
         _, d = state
@@ -77,25 +78,20 @@ def normalize_probs_batched(
 
     def body(state):
         prob, d = state
-        num_gt1 = (prob > 1).astype(I32).sum(axis=1)
+        gt1 = prob > 1
+        num_gt1 = gt1.astype(I32).sum(axis=1)
         it = jnp.minimum(d, num_gt1)
-        start = num_gt1 - it
-        sub = (
-            (ranks[None, :] >= start[:, None])
-            & (ranks[None, :] < num_gt1[:, None])
-            & (d[:, None] > 0)
+        key = (prob << 16) | syms[None, :]
+        arank = jnp.sum(
+            (gt1[:, None, :] & (key[:, None, :] < key[:, :, None])),
+            axis=2,
+            dtype=I32,
         )
+        sub = gt1 & (arank < it[:, None]) & (d[:, None] > 0)
         return prob - sub.astype(I32), d - it
 
-    sorted_prob, _ = jax.lax.while_loop(cond, body, (sorted_prob, neg_diff))
-
-    # Un-sort: scatter sorted probabilities back to symbol order.
-    pdf = (
-        jnp.zeros((B, NUM_SYMBOLS), I32)
-        .at[jnp.arange(B)[:, None], sorted_sym]
-        .set(sorted_prob)
-    )
-    pdf = jnp.where(nonempty, pdf, 0).astype(U32)
+    prob, _ = jax.lax.while_loop(cond, body, (prob, neg_diff))
+    pdf = jnp.where(nonempty, prob, 0).astype(U32)
 
     csum = jnp.cumsum(pdf.astype(I32), axis=1)
     cdf = jnp.concatenate([jnp.zeros((B, 1), I32), csum[:, :-1]], axis=1).astype(

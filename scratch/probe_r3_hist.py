@@ -129,6 +129,57 @@ def _mk_kernel(mode, unroll):
                 0, 64, body, jnp.zeros((128, 128), jnp.float32),
                 unroll=unroll,
             )
+        elif mode == "slabval":
+            # slab-major: value on the M axis via broadcast, NO gather and
+            # no variable shift. A[(v, s), (r8, l)] built from free views;
+            # matmul is A (128, K) . B (128, K)^T contracting K.
+            val16 = jax.lax.broadcasted_iota(
+                I32, (16, 1, 1, 1), 0).astype(BF16)
+
+            def plane_hist(b_plane, total):
+                # b_plane: (R, 128) i32 bytes; view (8, R8, 128) slabs
+                b8 = b_plane.reshape(8, _R // 8, 128)
+                dh = (b8 >> 4).astype(BF16)[None] - val16
+                dl = (b8 & 0xF).astype(BF16)[None] - val16
+                a_hi = jnp.maximum(BF16(1.0) - jnp.abs(dh), BF16(0.0))
+                a_lo = jnp.maximum(BF16(1.0) - jnp.abs(dl), BF16(0.0))
+                K = (_R // 8) * 128
+                return total + jax.lax.dot_general(
+                    a_hi.reshape(128, K), a_lo.reshape(128, K),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            def body(j, total):
+                b = (x >> (8 * j)) & 0xFF
+                return plane_hist(b, total)
+
+            acc[...] = acc[...] + jax.lax.fori_loop(
+                0, 4, body, jnp.zeros((128, 128), jnp.float32),
+                unroll=True,
+            )
+        elif mode == "i8dot":
+            # relu one-hot cast to int8, s8xs8->s32 MXU
+            def byte_of(g, lane):
+                idx = g * 2 + ((lane & 7) >> 2)
+                w = jnp.take_along_axis(x, idx, axis=1)
+                return (w >> ((lane & 3) * 8)) & 0xFF
+
+            def body(g, total):
+                b = byte_of(g, lane)
+                dh = (b >> 4) - val
+                dl = (b & 0xF) - val
+                a_hi = jnp.maximum(1 - jnp.abs(dh), 0).astype(jnp.int8)
+                a_lo = jnp.maximum(1 - jnp.abs(dl), 0).astype(jnp.int8)
+                return total + jax.lax.dot_general(
+                    a_hi, a_lo, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+
+            acc[...] = acc[...] + jax.lax.fori_loop(
+                0, 64, body, jnp.zeros((128, 128), jnp.int32),
+                unroll=unroll,
+            ).astype(jnp.float32)
         elif mode == "nogather":
             # WRONG RESULT: byte taken from own lane (no replication
             # gather) — isolates the take_along_axis cost
@@ -223,6 +274,7 @@ def main():
         ("rangecmp", 4),
         ("relu", 1), ("relu", 4), ("relu", 8),
         ("nogather", 1), ("nogather", 4),
+        ("slabval", 1), ("i8dot", 4),
     ]
     for mode, u in modes:
         f = build(mode, u, W)
