@@ -62,11 +62,18 @@ def _hist_accum(plane, acc, first, base_byte, nbytes):
         acc[...] = jnp.zeros((128, 128), jnp.float32)
 
     def body(g, total):
-        w = jnp.take_along_axis(plane, idx0 + 2 * g, axis=1)
-        b = ((w >> sh) & jnp.uint32(0xFF)).astype(I32)
-        b = jnp.where(pos0 + 8 * g < nbytes, b, 0)
-        a_hi = _onehot16(b >> 4, val)
-        a_lo = _onehot16(b & 0xF, val)
+        # 8 byte-groups per MXU dot (K=8R): short-K contractions leave the
+        # MXU pipeline draining; see histogram_mxu._hist_body
+        his, los = [], []
+        for t in range(8):
+            gg = g * 8 + t
+            w = jnp.take_along_axis(plane, idx0 + 2 * gg, axis=1)
+            b = ((w >> sh) & jnp.uint32(0xFF)).astype(I32)
+            b = jnp.where(pos0 + 8 * gg < nbytes, b, 0)
+            his.append(_onehot16(b >> 4, val))
+            los.append(_onehot16(b & 0xF, val))
+        a_hi = jnp.concatenate(his, axis=0)
+        a_lo = jnp.concatenate(los, axis=0)
         return total + jax.lax.dot_general(
             a_hi, a_lo,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -74,7 +81,7 @@ def _hist_accum(plane, acc, first, base_byte, nbytes):
         )
 
     total = jax.lax.fori_loop(
-        0, 64, body, jnp.zeros((128, 128), jnp.float32), unroll=False
+        0, 8, body, jnp.zeros((128, 128), jnp.float32), unroll=False
     )
     acc[...] = acc[...] + total
 

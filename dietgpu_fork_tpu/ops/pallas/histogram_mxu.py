@@ -54,18 +54,29 @@ def _onehot16(n, valf):
     return jnp.maximum(BF16(1.0) - jnp.abs(d), BF16(0.0))
 
 
-def _hist_body(byte_of, groups: int, acc):
-    """Accumulate nibble-pair outer products; byte_of(g) yields the (R, 128)
-    int32 byte matrix of group g (8 bytes per row, replicated x16). Rolled
-    into a fori_loop — fully unrolling 64 MXU contractions overwhelms the
-    compiler."""
-    lane = jax.lax.broadcasted_iota(I32, (_R, 128), 1)
+_DOT_WIDTH = 8  # byte-groups contracted per MXU dot (K = width * R)
+
+
+def _hist_body(byte_of, groups: int, acc, rows: int = _R):
+    """Accumulate nibble-pair outer products; byte_of(g) yields the
+    (rows, 128) int32 byte matrix of group g (8 bytes per row, replicated
+    x16). Indicators for _DOT_WIDTH groups are concatenated along the
+    contraction (sublane) axis before each dot: measured on v5e, one
+    K=8192 contraction runs ~2.5x faster per MAC than eight K=1024 ones
+    (short-K MXU pipelines drain between dots), and the sublane concat of
+    already-computed indicators is free."""
+    lane = jax.lax.broadcasted_iota(I32, (rows, 128), 1)
     val = lane >> 3  # target nibble value per lane
+    width = _DOT_WIDTH if groups % _DOT_WIDTH == 0 else 1
 
     def body(g, total):
-        b = byte_of(g, lane)
-        a_hi = _onehot16(b >> 4, val)
-        a_lo = _onehot16(b & 0xF, val)
+        his, los = [], []
+        for t in range(width):
+            b = byte_of(g * width + t, lane)
+            his.append(_onehot16(b >> 4, val))
+            los.append(_onehot16(b & 0xF, val))
+        a_hi = his[0] if width == 1 else jnp.concatenate(his, axis=0)
+        a_lo = los[0] if width == 1 else jnp.concatenate(los, axis=0)
         return total + jax.lax.dot_general(
             a_hi, a_lo,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -73,7 +84,8 @@ def _hist_body(byte_of, groups: int, acc):
         )
 
     total = jax.lax.fori_loop(
-        0, groups, body, jnp.zeros((128, 128), jnp.float32), unroll=False
+        0, groups // width, body, jnp.zeros((128, 128), jnp.float32),
+        unroll=False,
     )
     acc[...] = acc[...] + total
 

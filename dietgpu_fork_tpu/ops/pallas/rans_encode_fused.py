@@ -131,12 +131,28 @@ def _encode_kernel(
     prob_mul = U32(1 << prob_bits)
     WB = _ballot_weights()
 
-    # step-major symbol input (restaged by the driver): tile slab s=u>>2
-    # lane q*32 + (u&3)*8 + w3 holds word (j*16+u)*8+w3 of block (r, q);
-    # per step the distribution to byte lanes is ONE static gather.
+    # natural symbol input: sym_ref[g4, q, :] holds words j*128..j*128+127
+    # of block (g4, q). Each 4-step slab (lane q*32 + ds*8 + w3 = word
+    # s*32 + ds*8 + w3 of block q) is built IN-VMEM from 4 static-index
+    # gathers + selects — the driver-side XLA transpose this replaces cost
+    # ~0.6 ms per 16 MiB plane (measured, scratch/time_enc_parts.py), ~6x
+    # the in-kernel rebuild.
     byte_sh = ((lane & 3) * 8).astype(U32)
     q32 = lane - (lane & 31)
     w3 = (lane & 31) >> 2
+    lane31 = lane & 31
+    qsel = lane >> 5
+    # sym_ref is the whole cell (G4, 4, _NJ, 128); its block index is
+    # j-invariant so Pallas DMAs it once per cell. Dynamic-j sublane load:
+    xq = [
+        pltpu.bitcast(
+            sym_ref[:, q, pl.dslice(j, 1), :].reshape(
+                sym_ref.shape[0], 128
+            ),
+            I32,
+        )
+        for q in range(4)
+    ]
     # PER-ROW tables (each G4 row's 4 blocks share one member, so the
     # symbol->entry gather is an ordinary per-row take_along_axis; this is
     # what lets one cell span many batch members — the bs=128 regime)
@@ -145,10 +161,16 @@ def _encode_kernel(
 
     words_out = []
     masks_out = []
+    slab = None
     for u in range(_UNROLL):
         i = j * _UNROLL + u
-        src = pltpu.bitcast(sym_ref[u >> 2], I32)
-        w = jnp.take_along_axis(src, q32 + (u & 3) * 8 + w3, axis=1)
+        if u & 3 == 0:
+            idx = (u >> 2) * 32 + lane31
+            slab = jnp.take_along_axis(xq[0], idx, axis=1)
+            for q in range(1, 4):
+                g = jnp.take_along_axis(xq[q], idx, axis=1)
+                slab = jnp.where(qsel == q, g, slab)
+        w = jnp.take_along_axis(slab, q32 + (u & 3) * 8 + w3, axis=1)
         sym = (w.astype(U32) >> byte_sh) & U32(0xFF)
         v = (i * WARP_SIZE + gl) < valid_n
 
@@ -409,14 +431,10 @@ def encode_blocks_fused(
         1, NBF * WPB
     )
     xp = jnp.pad(xf, ((0, 0), (0, (NBP - NBF) * WPB)))
-    # phase-A symbol layout is STEP-major: [cell, s, g4, q*32 + ds*8 + w3]
-    # = word (4s+ds)*8+w3 of block (g4, q), so each step's byte
-    # distribution in the kernel is one static gather.
-    sym = (
-        xp.reshape(CELLS, G4, 4, 32, 4, 8)
-        .transpose(0, 3, 1, 2, 4, 5)
-        .reshape(CELLS, 32, G4, 128)
-    )
+    # phase-A symbol layout is the NATURAL block order [cell, g4, q, j,
+    # lane] (a free reshape — no data movement); the kernel rebuilds each
+    # 4-step slab in VMEM (see _encode_kernel).
+    sym = xp.reshape(CELLS, G4, 4, _NJ, 128)
 
     blk = jnp.arange(NB4, dtype=I32)[None, :]
     valid_n = jnp.clip(
@@ -454,8 +472,8 @@ def encode_blocks_fused(
         grid=grid_a,
         in_specs=[
             pl.BlockSpec(
-                (None, 4, G4, 128),
-                lambda b, t, j: (b * cells + t, j, 0, 0),
+                (None, G4, 4, _NJ, 128),
+                lambda b, t, j: (b * cells + t, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
