@@ -169,14 +169,29 @@ def float_compress_core(
             + 4 * _MBW * NBp) // 16) * 16,
     )
     tight = 4 * (8 + s1w_cap + s2w_cap) + nsegs * ans_tight
+    # row width a multiple of 128 words so every member's raw section
+    # lands at dst % 128 == 8 — paired with the 8-word source prefix
+    # below, that makes the (large) raw-section run src/dst congruent
+    # mod 128 and eligible for the merge engine's direct-DMA fast path
     CWf = min(max_float_compressed_size(ft, S_cap), tight) // 4
+    CWf = -(-CWf // 128) * 128
 
     # archive assembly: ONE ragged runs-merge per batch placing the float
     # header, raw section(s), and every ANS segment's header/blockWords/
     # per-block stream runs, ordered by destination within each member
     from ..ops.pallas.merge import runs_merge
 
-    own_sections = [hdr] + packed_secs
+    # sec1 rows get an 8-word zero prefix and 128-multiple width: with
+    # CWf % 128 == 0 the run's src and dst are both == 8 (mod 128), so the
+    # merge moves the bulk of the raw section with full-row direct DMAs
+    # instead of roll-based sub-pieces (sec2's offset o1 is dynamic, so it
+    # stays on the general path)
+    sec1 = packed_secs[0]
+    w1p = -(-(8 + sec1.shape[1]) // 128) * 128
+    sec1 = jnp.pad(sec1, ((0, 0), (8, w1p - 8 - sec1.shape[1])))
+    hdr = jnp.pad(hdr, ((0, 0), (0, 120)))  # width 128: keeps sec1 rows
+    # (which follow hdr in the blob) 128-aligned for every batch size
+    own_sections = [hdr, sec1] + packed_secs[1:]
     all_sections = list(own_sections)
     seg_src_base = []
     acc = sum(s.size for s in own_sections)
@@ -206,6 +221,8 @@ def float_compress_core(
         (own_base[i] + b_ar * own_widths[i])[:, None]
         for i in range(len(own_sections))
     ]
+    # sec1's data starts 8 words into its (128-multiple) padded row
+    src_cols[1] = src_cols[1] + 8
     for si, parts in enumerate(seg_parts):
         a_dst, a_src, a_len = parts[1], parts[2], parts[3]
         base_col = o2 if si == 0 else a1

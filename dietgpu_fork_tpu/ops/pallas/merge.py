@@ -283,21 +283,31 @@ _LSUB = 6400  # max long sub-piece words
 _LFR = 52  # long frame rows (52*128 >= 127 + _LSUB)
 _LWIN = 64  # long DMA window rows (8192 >= 1023 + 127 + _LSUB)
 _D2 = 8  # in-flight windows
+_K3 = 4096  # aligned direct-DMA chunk words (32 full rows)
+_K3R = _K3 // 128
+_K3_FLAG = 1 << 20  # marks a kind-3 piece in the meta length field
+_DK = 4  # in-flight kind-3 direct DMAs
+
+import os as _os
+
+_K3_OFF = _os.environ.get("DIETTPU_MERGE_K3") == "0"
 
 
-def _merge2_kernel(meta_ref, t_s0_ref, src_ref, out_ref, win, sem_w):
+def _merge2_kernel(meta_ref, t_s0_ref, src_ref, out_ref, win, sem_w, sem_k):
     t = pl.program_id(0)
     s0 = t_s0_ref[t]
     s1 = t_s0_ref[t + 1]
     out_ref[...] = jnp.zeros((_T2R, 128), U32)
 
     def piece(s):
+        ln_raw = meta_ref[3 * s + 2]
         return (
-            meta_ref[3 * s], meta_ref[3 * s + 1], meta_ref[3 * s + 2]
+            meta_ref[3 * s], meta_ref[3 * s + 1], ln_raw & (_K3_FLAG - 1),
+            ln_raw >= _K3_FLAG,
         )
 
     def dma(s, start: bool):
-        _, src, ln = piece(s)
+        _, src, ln, k3 = piece(s)
         row0 = (src // 1024) * 8
         slot = s % _D2
 
@@ -316,9 +326,26 @@ def _merge2_kernel(meta_ref, t_s0_ref, src_ref, out_ref, win, sem_w):
             return br
 
         jax.lax.switch(
-            jnp.where(ln <= 0, 0, jnp.where(ln <= _SUB, 1, 2)),
+            jnp.where(k3 | (ln <= 0), 0,
+                      jnp.where(ln <= _SUB, 1, 2)),
             [lambda: None, mk(_WIN), mk(_LWIN)],
         )
+
+    def k3_wait(slot):
+        # all kind-3 copies share one shape; the wait decrements by size
+        pltpu.make_async_copy(
+            src_ref.at[pl.ds(0, _K3R), :],
+            out_ref.at[pl.ds(0, _K3R), :],
+            sem_k.at[slot],
+        ).wait()
+
+    def k3_drain(started, waited):
+        def w(i, _):
+            k3_wait(i % _DK)
+            return 0
+
+        jax.lax.fori_loop(waited, started, w, 0, unroll=False)
+        return started
 
     def prologue(i, _):
         @pl.when(s0 + i < s1)
@@ -349,28 +376,68 @@ def _merge2_kernel(meta_ref, t_s0_ref, src_ref, out_ref, win, sem_w):
         cur = out_ref[pl.ds(r0, rows), :]
         out_ref[pl.ds(r0, rows), :] = jnp.where(m, rolled, cur)
 
-    def process(s, _):
-        dst, src, ln = piece(s)
+    def process(s, carry):
+        started, waited = carry
+        dst, src, ln, k3 = piece(s)
         dma(s, start=False)
 
-        def short():
-            place(s, dst, src, ln, 12, _WIN, jj_s)
+        def do_k3(carry):
+            started, waited = carry
+            # ring-throttle: at most _DK direct copies in flight
+            waited = jax.lax.cond(
+                started - waited >= _DK,
+                lambda w: (k3_wait(w % _DK), w + 1)[1],
+                lambda w: w,
+                waited,
+            )
+            r0 = (dst - t * _T2) // 128
+            pltpu.make_async_copy(
+                src_ref.at[pl.ds(src // 128, _K3R), :],
+                out_ref.at[pl.ds(r0, _K3R), :],
+                sem_k.at[started % _DK],
+            ).start()
+            return started + 1, waited
 
-        def longp():
-            place(s, dst, src, ln, _LFR, _LWIN, jj_l)
+        def do_rmw(carry):
+            started, waited = carry
+            # RMW reads tile rows: every in-flight direct copy must land
+            # first (a clamped frame can reach back into kind-3 rows)
+            waited = jax.lax.cond(
+                (waited < started) & (ln > 0),
+                lambda w: k3_drain(started, w),
+                lambda w: w,
+                waited,
+            )
 
-        jax.lax.switch(
-            jnp.where(ln <= 0, 0, jnp.where(ln <= _SUB, 1, 2)),
-            [lambda: None, short, longp],
-        )
+            def short():
+                place(s, dst, src, ln, 12, _WIN, jj_s)
+
+            def longp():
+                place(s, dst, src, ln, _LFR, _LWIN, jj_l)
+
+            jax.lax.switch(
+                jnp.where(ln <= 0, 0, jnp.where(ln <= _SUB, 1, 2)),
+                [lambda: None, short, longp],
+            )
+            return started, waited
+
+        started, waited = jax.lax.cond(k3, do_k3, do_rmw, (started, waited))
 
         @pl.when(s + _D2 < s1)
         def _():
             dma(s + _D2, start=True)
 
-        return 0
+        return started, waited
 
-    jax.lax.fori_loop(s0, s1, process, 0, unroll=False)
+    started, waited = jax.lax.fori_loop(
+        s0, s1, process, (jnp.int32(0), jnp.int32(0)), unroll=False
+    )
+    jax.lax.cond(
+        waited < started,
+        lambda w: k3_drain(started, w),
+        lambda w: w,
+        waited,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("out_len",))
@@ -425,26 +492,55 @@ def _runs_merge_tpu2(src_flat, dst_off, src_off, lens, *, out_len: int):
     plen = jnp.where(valid, jnp.minimum(nxt, dst_end) - breaks, 0)
     psrc = jnp.where(valid, src_off[r] + (breaks - dst_off[r]), 0)
 
-    # split long pieces at _LSUB-word steps (static slot bound: every
-    # output word belongs to at most one extra sub-piece). The slot->piece
-    # map p[slot] = #{ends <= slot} is a scatter-add + cumsum, not a
-    # searchsorted.
-    R2 = G + out_len // _LSUB
-    nsub = jnp.where(plen > _SUB, -(-plen // _LSUB), 1)
+    # split pieces into kernel work items. Misaligned long pieces become
+    # <=_LSUB-word sub-pieces (window DMA + flat roll + frame RMW). Pieces
+    # whose src and dst agree mod 128 instead become: a short head up to
+    # the next dst row boundary, full-row _K3-word chunks moved by DIRECT
+    # src->tile DMA (no window, no roll — flagged via _K3_FLAG), and a
+    # <=_K3 long tail. The slot->piece map p[slot] = #{ends <= slot} is a
+    # scatter-add + cumsum, not a searchsorted.
+    R2 = 2 * G + out_len // _K3
+    aligned = (((psrc - breaks) % 128) == 0) & (plen >= 2 * _K3)
+    if _K3_OFF:
+        aligned = aligned & False
+    h = jnp.where(aligned, (-breaks) % 128, 0)
+    m = jnp.where(aligned, (plen - h) // _K3, 0)
+    tail_off = h + m * _K3
+    nsub = jnp.where(
+        aligned, m + 2, jnp.where(plen > _SUB, -(-plen // _LSUB), 1)
+    )
     ends = jnp.cumsum(nsub)
     z = jnp.zeros((R2,), I32).at[jnp.clip(ends, 0, R2 - 1)].add(
         jnp.where(ends < R2, 1, 0)
     )
     p = jnp.clip(jnp.cumsum(z), 0, G - 1)
-    k = (jnp.arange(R2, dtype=I32) - (ends[p] - nsub[p])) * _LSUB
-    live = (k < jnp.maximum(plen[p], 1)) & (k >= 0)
-    koff = jnp.clip(k, 0, jnp.maximum(plen[p] - 1, 0))
+    kidx = jnp.arange(R2, dtype=I32) - (ends[p] - nsub[p])
+    al_p = aligned[p]
+    off = jnp.where(
+        al_p,
+        jnp.where(
+            kidx == 0, 0,
+            jnp.where(kidx <= m[p], h[p] + (kidx - 1) * _K3, tail_off[p]),
+        ),
+        kidx * _LSUB,
+    )
+    len_k = jnp.where(
+        al_p,
+        jnp.where(
+            kidx == 0, h[p],
+            jnp.where(kidx <= m[p], _K3, plen[p] - tail_off[p]),
+        ),
+        jnp.clip(
+            plen[p] - kidx * _LSUB, 0,
+            jnp.where(plen[p] > _SUB, _LSUB, _SUB),
+        ),
+    )
+    flag = al_p & (kidx >= 1) & (kidx <= m[p])
+    live = (kidx >= 0) & (kidx < nsub[p]) & (len_k > 0)
+    koff = jnp.clip(off, 0, jnp.maximum(plen[p] - 1, 0))
     sdst = breaks[p] + koff
     ssrc = psrc[p] + koff
-    slen = jnp.where(
-        live, jnp.clip(plen[p] - k, 0, jnp.where(plen[p] > _SUB, _LSUB, _SUB)),
-        0,
-    )
+    slen = jnp.where(live, len_k + flag.astype(I32) * _K3_FLAG, 0)
 
     meta = jnp.stack([sdst, ssrc, slen], axis=1).reshape(-1)
     t_s0 = jnp.sum(
@@ -466,6 +562,7 @@ def _runs_merge_tpu2(src_flat, dst_off, src_off, lens, *, out_len: int):
         scratch_shapes=[
             pltpu.VMEM((_D2, _LWIN, 128), U32),
             pltpu.SemaphoreType.DMA((_D2,)),
+            pltpu.SemaphoreType.DMA((_DK,)),
         ],
     )
     out = pallas_call(
