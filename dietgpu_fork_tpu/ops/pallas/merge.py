@@ -306,6 +306,16 @@ def _merge2_kernel(meta_ref, t_s0_ref, src_ref, out_ref, win, sem_w, sem_k):
             ln_raw >= _K3_FLAG,
         )
 
+    def _class(ln, k3):
+        # 0 none | 1 tiny<=384 | 2 mid<=768 | 3 short<=1280 | 4 long | (k3)
+        return jnp.where(
+            k3 | (ln <= 0), 0,
+            jnp.where(
+                ln <= 384, 1,
+                jnp.where(ln <= 768, 2, jnp.where(ln <= _SUB, 3, 4)),
+            ),
+        )
+
     def dma(s, start: bool):
         _, src, ln, k3 = piece(s)
         row0 = (src // 1024) * 8
@@ -326,9 +336,8 @@ def _merge2_kernel(meta_ref, t_s0_ref, src_ref, out_ref, win, sem_w, sem_k):
             return br
 
         jax.lax.switch(
-            jnp.where(k3 | (ln <= 0), 0,
-                      jnp.where(ln <= _SUB, 1, 2)),
-            [lambda: None, mk(_WIN), mk(_LWIN)],
+            _class(ln, k3),
+            [lambda: None, mk(16), mk(16), mk(_WIN), mk(_LWIN)],
         )
 
     def k3_wait(slot):
@@ -362,6 +371,8 @@ def _merge2_kernel(meta_ref, t_s0_ref, src_ref, out_ref, win, sem_w, sem_k):
             + jax.lax.broadcasted_iota(I32, (rows, 128), 1)
         )
 
+    jj_t = frame_iota(4)
+    jj_m = frame_iota(8)
     jj_s = frame_iota(12)
     jj_l = frame_iota(_LFR)
 
@@ -409,6 +420,12 @@ def _merge2_kernel(meta_ref, t_s0_ref, src_ref, out_ref, win, sem_w, sem_k):
                 waited,
             )
 
+            def tiny():
+                place(s, dst, src, ln, 4, 16, jj_t)
+
+            def mid():
+                place(s, dst, src, ln, 8, 16, jj_m)
+
             def short():
                 place(s, dst, src, ln, 12, _WIN, jj_s)
 
@@ -416,8 +433,8 @@ def _merge2_kernel(meta_ref, t_s0_ref, src_ref, out_ref, win, sem_w, sem_k):
                 place(s, dst, src, ln, _LFR, _LWIN, jj_l)
 
             jax.lax.switch(
-                jnp.where(ln <= 0, 0, jnp.where(ln <= _SUB, 1, 2)),
-                [lambda: None, short, longp],
+                _class(ln, False),
+                [lambda: None, tiny, mid, short, longp],
             )
             return started, waited
 
