@@ -331,11 +331,17 @@ def float_decompress_core(
         # fused decode+join for fp32: both raw sections staged block-major
         # (2048 low-u16-pair words + 1024 third-byte words per 4096-float
         # ANS block) and the decoder emits final fp32 words. OFF by
-        # default: measured 6.3 ms vs ~4.5 ms two-pass at 16Mi floats —
-        # the per-step raw-section lane slicing relayouts cost more than
-        # the join pass it saves (unlike fp16/bf16, where symbol and raw
-        # words line up 1:1 and the join is an epilogue interleave).
-        # Validated bit-exact (scratch/val_join32.py); enable with
+        # default: the r2 per-step epilogue measured 6.3 ms vs ~4.5 ms
+        # two-pass at 16Mi floats; the r3 TILE epilogue (full-width static
+        # slices + 3 lane gathers per 128-float segment) narrowed it to
+        # 5.0 vs 4.0 ms but two-pass still wins — the fused kernel's
+        # 3x-wider per-step output (4 B/float vs 2) spills the decode
+        # walk's register working set, which the separate join pass (pure
+        # streaming interleave) never pays. The reference fuses fp32
+        # because its GPU ballots/scatters make the extra pass the
+        # expensive part (GpuFloatDecompress.cuh:935-972); on TPU the
+        # trade goes the other way. Validated bit-exact
+        # (scratch/val_join32.py, scratch/time_f32_fused.py); enable with
         # DIETTPU_FUSED_F32=1.
         from ..ops.pallas.merge import runs_merge
         from .ans import ans_decode_join32_core

@@ -124,8 +124,19 @@ def _expand_kernel(
             )
             return jnp.where(chunk_i == c, g, acc)
 
-        return jax.lax.fori_loop(
-            0, nchd * 8, body, jnp.zeros((_R, 128), U32), unroll=False
+        # typical windows are 1-2 DMA chunks (16 x 128-row sub-chunks):
+        # unroll that statically, keep a dynamic fori tail for wide
+        # (low-density) windows — same shape as the rANS decoder's
+        # adaptive renorm window
+        acc = jnp.zeros((_R, 128), U32)
+        for c in range(16):
+            acc = body(c, acc)
+        return jax.lax.cond(
+            nchd * 8 > 16,
+            lambda a: jax.lax.fori_loop(16, nchd * 8, body, a,
+                                        unroll=False),
+            lambda a: a,
+            acc,
         )
 
     if pair == 1:
@@ -211,9 +222,12 @@ def _compact_kernel(x_ref, bm_ref, wr_ref, out_ref, *, pair: int):
             )
             return jnp.where(chunk_i == c, g, acc)
 
+        # static chunk count: fully unrolled — the rolled fori's loop
+        # machinery (~170 cyc/iteration) dominated the whole compact
+        # kernel at 32 iterations per cell
         return jax.lax.fori_loop(
             0, x_ref.shape[0], body, jnp.zeros((_R, 128), U32),
-            unroll=False,
+            unroll=True,
         )
 
     if pair == 1:
