@@ -36,7 +36,7 @@ from dietgpu_fork_tpu.models.float_codec import (
 
 N_FLOATS = 1 << 24  # 16Mi bf16 floats = 32 MiB
 ITERS = 8
-REPEATS = 4
+REPEATS = 6  # the chip is shared; min-of-6 rides out contention windows
 
 
 def fence(x):

@@ -320,23 +320,35 @@ def _ans_parse_and_stage(
     b_ar = jnp.arange(B, dtype=I32)
     abs_base = b_ar * CW + base32
 
-    # merge 1: extract per-member [states | blockWords] into dense staging
+    # per-member [states | blockWords] dense staging. blockWords are
+    # needed to COMPUTE the stream runs: for small archives (NB static and
+    # <= 256) they come from a cheap consecutive row-gather and the states
+    # fuse into the stream merge — ONE merge call instead of two, halving
+    # the fixed per-call glue that dominates small-input decode. Large
+    # archives keep the two-merge form (a 2*NB-element XLA gather would
+    # lower serially on TPU).
     bw_off, data_off = _layout(nb_arch)
     SM = 32 * NB
     PM = 2 * NB
-    dst1 = jnp.concatenate([b_ar * SM, B * SM + b_ar * PM])
-    src1 = jnp.concatenate([abs_base + _META_WORDS, abs_base + bw_off])
-    len1 = jnp.concatenate([32 * nb, 2 * nb])
-    stage1 = runs_merge(flat, dst1, src1, len1, B * (SM + PM))
-    states = stage1[: B * SM].reshape(B, NB, 32)
-    bw = stage1[B * SM :].reshape(B, NB, 2)
+    small = NB <= 256
+    if small:
+        bw = row_gather(
+            bw_off[:, None] + jnp.arange(2 * NB, dtype=I32)[None, :]
+        ).reshape(B, NB, 2)
+    else:
+        dst1 = jnp.concatenate([b_ar * SM, B * SM + b_ar * PM])
+        src1 = jnp.concatenate([abs_base + _META_WORDS, abs_base + bw_off])
+        len1 = jnp.concatenate([32 * nb, 2 * nb])
+        stage1 = runs_merge(flat, dst1, src1, len1, B * (SM + PM))
+        states = stage1[: B * SM].reshape(B, NB, 32)
+        bw = stage1[B * SM :].reshape(B, NB, 2)
 
     bx, by = bw[:, :, 0], bw[:, :, 1]
     uncomp_w = jnp.where(live, (bx >> u32(16)).astype(I32), 0)
     comp_w = jnp.where(live, (bx & u32(0xFFFF)).astype(I32), 0)
     starts = jnp.where(live, by.astype(I32), 0)
 
-    # merge 2: stage each block's compressed words into dense (B, NB, SW)
+    # stream staging: each block's compressed words into dense (B, NB, SW)
     # rows (uint16 word k of a block lives at staged word k>>1, half k&1).
     # On TPU the staging is END-aligned (words at [SW-cw32, SW)) for the
     # v2 decoder's lane-group layout; the CPU reference path start-aligns.
@@ -349,9 +361,18 @@ def _ans_parse_and_stage(
     else:
         SW = MAX_BLOCK_WORDS32 + 8
         dst2 = r_flat * SW
-    streams = runs_merge(flat, dst2, src2, len2, B * NB * SW).reshape(
-        B, NB, SW
-    )
+    if small:
+        SB = B * NB * SW  # stream region, then the states region
+        dst_all = jnp.concatenate([dst2, SB + b_ar * SM])
+        src_all = jnp.concatenate([src2, abs_base + _META_WORDS])
+        len_all = jnp.concatenate([len2, 32 * nb])
+        stage = runs_merge(flat, dst_all, src_all, len_all, SB + B * SM)
+        streams = stage[:SB].reshape(B, NB, SW)
+        states = stage[SB:].reshape(B, NB, 32)
+    else:
+        streams = runs_merge(flat, dst2, src2, len2, B * NB * SW).reshape(
+            B, NB, SW
+        )
     return streams, comp_w, uncomp_w, states, pdf, success, n, csum, NB
 
 
