@@ -118,3 +118,60 @@ def test_fused_encode_decode_byte_exact(rng):
     assert bool(np.all(np.asarray(succ)))
     for i, d in enumerate(datas):
         assert np.array_equal(out[i, : d.size], d)
+
+
+def test_runs_merge_aligned_direct_dma(rng):
+    """The kind-3 fast path: runs with src == dst (mod 128) and >= 8192
+    words move by full-row direct DMA (merge.py _K3_FLAG pieces), including
+    a multi-tile run shaped like the float codec's raw section."""
+    from dietgpu_fork_tpu.ops.pallas.merge import (
+        _runs_merge_ref,
+        _runs_merge_tpu2,
+    )
+
+    out_len = 3_000_000
+    dst = np.array([8, 2_100_008, 2_400_008], np.int32)
+    lens = np.array([2_100_000, 250_000, 599_000], np.int32)
+    src = np.array([136, 2_100_008 + 64, 2_500_000 + 8], np.int32)
+    # run 0 and run 2 aligned (src-dst multiple of 128), run 1 not
+    src_flat = jnp.asarray(
+        rng.integers(1, 2**32, 3_200_000, dtype=np.uint64).astype(np.uint32)
+    )
+    d, s, l = map(jnp.asarray, (dst, src, lens))
+    got = _runs_merge_tpu2(src_flat, d, s, l, out_len=out_len)
+    want = _runs_merge_ref(src_flat, d, s, l, out_len=out_len)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pack_bitmap16_matches_xla(rng):
+    from dietgpu_fork_tpu.core.constants import FloatType
+    from dietgpu_fork_tpu.models import sparse as SP
+    from dietgpu_fork_tpu.ops.pallas.bitmap_pack import pack_bitmap16_tpu
+
+    for N, B in ((100_000, 1), (8192, 3), (31, 1)):
+        x = rng.normal(0, 1, (B, N))
+        x[rng.random((B, N)) < 0.5] = 0
+        w = x.astype(np.float16).view(np.uint16)
+        w = np.pad(w, ((0, 0), (0, (-N) % 2)))
+        if N % 2:
+            w[:, -1] = 0x7777  # poison padding: masking must hide it
+        d = jnp.asarray(w.view(np.uint32))
+        n = jnp.full((B,), N, jnp.int32)
+        S_cap = SP._floats_capacity(d.shape[1], FloatType.FLOAT16)
+        want = np.asarray(
+            SP._pack_bitmap_direct(d, n, S_cap, FloatType.FLOAT16)
+        )
+        got = np.asarray(pack_bitmap16_tpu(d))[:, : -(-S_cap // 32)]
+        wpos = np.arange(got.shape[1], dtype=np.int32)[None, :]
+        r = np.clip(N - wpos * 32, 0, 32)
+        fb = (r >> 3).astype(np.uint64)
+        full = np.where(fb >= 4, 0xFFFFFFFF, (1 << (fb * 8)) - 1).astype(
+            np.uint32
+        )
+        part = (((0xFF << (8 - (r & 7))) & 0xFF).astype(np.uint32)) << (
+            fb * 8
+        ).astype(np.uint32)
+        got = got & (full | np.where(r < 32, part, 0).astype(np.uint32))
+        W = min(want.shape[1], got.shape[1])
+        assert np.array_equal(got[:, :W], want[:, :W]), (N, B)
+        assert not want[:, W:].any() and not got[:, W:].any()
