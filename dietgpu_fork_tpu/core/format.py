@@ -18,6 +18,7 @@ import numpy as np
 from .constants import (
     ANS_HEADER_BYTES,
     ANS_MAGIC,
+    ANS_MAGIC_NATIVE,
     ANS_VERSION,
     BLOCK_ALIGNMENT,
     FLOAT_HEADER2_BYTES,
@@ -48,6 +49,11 @@ class ANSHeader:
     prob_bits: int
     use_checksum: bool
     checksum: int = 0
+    # TPU-native ROW-STREAM layout (see constants.ANS_MAGIC_NATIVE): same
+    # sections, but the 4 blocks of each row share ONE per-step-interleaved
+    # stream segment, 16B-aligned per ROW; blockWords.y holds the ROW
+    # segment start for each of its blocks.
+    native: bool = False
 
     @property
     def options(self) -> int:
@@ -55,9 +61,10 @@ class ANSHeader:
 
     def pack(self) -> np.ndarray:
         """Pack to 8 little-endian uint32 words (32 bytes)."""
+        magic = ANS_MAGIC_NATIVE if self.native else ANS_MAGIC
         return np.array(
             [
-                (ANS_MAGIC << 16) | ANS_VERSION,
+                (magic << 16) | ANS_VERSION,
                 self.num_blocks,
                 self.total_uncompressed_words,
                 self.total_compressed_words,
@@ -73,8 +80,9 @@ class ANSHeader:
     def unpack(words: np.ndarray) -> "ANSHeader":
         words = np.asarray(words, dtype=np.uint32)
         magic_version = int(words[0])
-        if magic_version >> 16 != ANS_MAGIC:
-            raise ValueError(f"bad ANS magic {magic_version >> 16:#x}")
+        magic = magic_version >> 16
+        if magic not in (ANS_MAGIC, ANS_MAGIC_NATIVE):
+            raise ValueError(f"bad ANS magic {magic:#x}")
         if magic_version & 0xFFFF != ANS_VERSION:
             raise ValueError(f"bad ANS version {magic_version & 0xFFFF:#x}")
         options = int(words[4])
@@ -85,6 +93,7 @@ class ANSHeader:
             prob_bits=options & 0xF,
             use_checksum=bool(options & 0x10),
             checksum=int(words[5]),
+            native=magic == ANS_MAGIC_NATIVE,
         )
 
     # Section byte offsets within the archive ------------------------------

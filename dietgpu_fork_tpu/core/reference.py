@@ -346,9 +346,13 @@ def ans_encode(
 def ans_decode(
     archive: np.ndarray, expected_prob_bits: Optional[int] = None
 ) -> Tuple[np.ndarray, ANSHeader]:
-    """Decode a coalesced ANS archive; returns (bytes, header)."""
+    """Decode a coalesced ANS archive; returns (bytes, header). Archives
+    are self-describing: the native row-stream layout (magic 0xDB0D)
+    dispatches to ans_decode_native."""
     buf = np.ascontiguousarray(archive, dtype=np.uint8).ravel()
     header = ANSHeader.unpack(buf[:32].view(U32))
+    if header.native:
+        return ans_decode_native(archive, expected_prob_bits)
     if expected_prob_bits is not None and header.prob_bits != expected_prob_bits:
         raise ValueError(
             f"prob_bits mismatch: archive {header.prob_bits}, "
@@ -432,6 +436,207 @@ def ans_decode(
 
     out = out_padded[:n].copy()
     return out, header
+
+
+# ---------------------------------------------------------------------------
+# TPU-native ROW-STREAM layout (magic constants.ANS_MAGIC_NATIVE)
+#
+# Identical header/probs/states/blockWords sections, but the compressed
+# streams of each ROW of 4 consecutive blocks are interleaved per STEP into
+# one shared segment (step ascending; within a step, blocks then lanes
+# ascending — i.e. the row's 128 encode lanes in order), tightly packed
+# with 16-byte alignment per ROW instead of per block. blockWords.y holds
+# the ROW segment start, duplicated across the row's blocks. 4x fewer
+# stream segments = 4x fewer staging/coalesce pieces on TPU, and the
+# decoder's reverse reads use ONE cursor per row. Same compression ratio
+# (slightly less alignment waste). Versioned via the header's
+# magic+version word exactly as the reference's mechanism allows
+# (GpuANSUtils.cuh:52-55). Not produced by the JAX codec yet (round-4
+# kernels); this oracle is the executable spec.
+# ---------------------------------------------------------------------------
+
+
+def ans_encode_native(
+    data: np.ndarray,
+    prob_bits: int = 10,
+    use_checksum: bool = False,
+    hist: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Compress a byte array to a ROW-STREAM native archive."""
+    data = np.ascontiguousarray(data, dtype=np.uint8).ravel()
+    n = data.size
+    nb = num_blocks(n)
+    nrows = div_up(nb, 4)
+
+    csum = checksum(data) if use_checksum else 0
+
+    if n > 0:
+        counts = histogram(data) if hist is None else np.asarray(hist, U32)
+        pdf, cdf, magic, shift = normalize_probs(counts, n, prob_bits)
+        states, words, mask = _encode_walk(
+            data, pdf, cdf, magic, shift, prob_bits
+        )
+        # per-block word counts (blockWords.x, same as classic)
+        nwords = mask.sum(axis=(0, 2)).astype(np.int64)
+        # row streams: (step, block-in-row, lane) emission order
+        nb4 = nrows * 4
+        S = STEPS_PER_BLOCK
+        wp = np.zeros((S, nb4, WARP_SIZE), dtype=np.uint16)
+        mp = np.zeros((S, nb4, WARP_SIZE), dtype=bool)
+        wp[:, :nb] = words
+        mp[:, :nb] = mask
+        w4 = wp.reshape(S, nrows, 4 * WARP_SIZE).transpose(1, 0, 2)
+        m4 = mp.reshape(S, nrows, 4 * WARP_SIZE).transpose(1, 0, 2)
+        row_streams = [
+            w4[r].reshape(-1)[m4[r].reshape(-1)] for r in range(nrows)
+        ]
+        row_words = np.array([s.size for s in row_streams], dtype=np.int64)
+    else:
+        pdf = np.zeros(NUM_SYMBOLS, dtype=U32)
+        states = np.zeros((0, WARP_SIZE), dtype=U32)
+        nwords = np.zeros(0, dtype=np.int64)
+        row_streams = []
+        row_words = np.zeros(0, dtype=np.int64)
+
+    # 16B-aligned exclusive prefix per ROW
+    aligned = ((row_words + 7) // 8) * 8
+    row_prefix = np.zeros(nrows, dtype=np.int64)
+    if nrows > 0:
+        row_prefix[1:] = np.cumsum(aligned)[:-1]
+        total_words = int(row_prefix[-1] + aligned[-1])
+    else:
+        total_words = 0
+
+    header = ANSHeader(
+        num_blocks=nb,
+        total_uncompressed_words=n,
+        total_compressed_words=total_words,
+        prob_bits=prob_bits,
+        use_checksum=use_checksum,
+        checksum=csum,
+        native=True,
+    )
+
+    out = np.zeros(header.total_compressed_size(), dtype=np.uint8)
+    out[:32] = header.pack().view(np.uint8)
+    out[32 : 32 + 512] = pdf.astype(np.uint16).view(np.uint8)
+    if nb > 0:
+        so = ANSHeader.states_offset()
+        out[so : so + 4 * 32 * nb] = states.astype(U32).view(np.uint8).ravel()
+        bo = ANSHeader.block_words_offset(nb)
+        last_words = n - (nb - 1) * BLOCK_SIZE
+        uncomp_words = np.full(nb, BLOCK_SIZE, dtype=U32)
+        uncomp_words[-1] = last_words
+        blk_start = row_prefix[np.arange(nb) // 4].astype(U32)
+        bw = pack_block_words(uncomp_words, nwords.astype(U32), blk_start)
+        out[bo : bo + 8 * nb] = bw.astype(U32).view(np.uint8).ravel()
+        do = ANSHeader.data_offset(nb)
+        for r in range(nrows):
+            w = int(row_words[r])
+            s = do + 2 * int(row_prefix[r])
+            out[s : s + 2 * w] = row_streams[r].view(np.uint8)
+    return out
+
+
+def ans_decode_native(
+    archive: np.ndarray, expected_prob_bits: Optional[int] = None
+) -> Tuple[np.ndarray, ANSHeader]:
+    """Decode a ROW-STREAM native archive; returns (bytes, header)."""
+    buf = np.ascontiguousarray(archive, dtype=np.uint8).ravel()
+    header = ANSHeader.unpack(buf[:32].view(U32))
+    if not header.native:
+        raise ValueError("not a native-layout archive")
+    if expected_prob_bits is not None and header.prob_bits != expected_prob_bits:
+        raise ValueError(
+            f"prob_bits mismatch: archive {header.prob_bits}, "
+            f"expected {expected_prob_bits}"
+        )
+    prob_bits = header.prob_bits
+    n = header.total_uncompressed_words
+    nb = header.num_blocks
+    if n == 0:
+        return np.zeros(0, dtype=np.uint8), header
+    nrows = div_up(nb, 4)
+    nb4 = nrows * 4
+
+    pdf = buf[32 : 32 + 512].view(np.uint16).astype(U32)
+    lut = build_decode_table(pdf, prob_bits)
+    lut_sym = (lut & U32(0xFF)).astype(np.uint8)
+    lut_pdf = (lut >> U32(8)) & U32(0xFFF)
+    lut_s_minus_cdf = lut >> U32(20)
+
+    so = ANSHeader.states_offset()
+    states = (
+        buf[so : so + 4 * 32 * nb].view(U32).reshape(nb, WARP_SIZE).astype(U32)
+    )
+    bo = ANSHeader.block_words_offset(nb)
+    bw = buf[bo : bo + 8 * nb].view(U32).reshape(nb, 2)
+    uncomp_words, comp_words, blk_start = unpack_block_words(bw)
+    do = ANSHeader.data_offset(nb)
+    data_u16 = buf[do:].view(np.uint16)
+
+    # per-row streams (start duplicated per block; length = row word sum)
+    bs4 = np.zeros(nb4, dtype=np.int64)
+    bs4[:nb] = blk_start.astype(np.int64)
+    row_start = bs4.reshape(nrows, 4)[:, 0]
+    cw4 = np.zeros(nb4, dtype=np.int64)
+    cw4[:nb] = comp_words
+    row_words = cw4.reshape(nrows, 4).sum(axis=1)
+    maxw = int(row_words.max()) if nrows > 0 else 0
+    streams = np.zeros((nrows, max(maxw, 1)), dtype=np.uint16)
+    for r in range(nrows):
+        w = int(row_words[r])
+        streams[r, :w] = data_u16[int(row_start[r]) : int(row_start[r]) + w]
+
+    # row-major decode walk: 128 lanes per row = 4 blocks x 32 states,
+    # ONE reverse cursor per row; within an iteration, higher (block,lane)
+    # positions read closer to the stream end (the reverse of the per-step
+    # blocks-then-lanes emission order).
+    u4 = np.zeros(nb4, dtype=np.int64)
+    u4[:nb] = uncomp_words.astype(np.int64)
+    u4r = u4.reshape(nrows, 4)
+    r_ = ((u4r - 1) % WARP_SIZE) + 1
+    nsteps = (u4r + WARP_SIZE - 1) // WARP_SIZE  # (nrows, 4)
+    max_steps = int(nsteps.max())
+    ptr = row_words.copy()  # one past last unread u16 of the row
+    lanes = np.arange(WARP_SIZE)
+
+    st4 = np.full((nb4, WARP_SIZE), ANS_START_STATE, dtype=U32)
+    st4[:nb] = states
+    st = st4.reshape(nrows, 4 * WARP_SIZE).copy()
+
+    state_mask = U32((1 << prob_bits) - 1)
+    out_padded = np.zeros(nb4 * BLOCK_SIZE, dtype=np.uint8)
+    block_base = (np.arange(nb4) * BLOCK_SIZE).reshape(nrows, 4)
+
+    for k in range(max_steps):
+        kk = k - (max_steps - nsteps)  # (nrows, 4) per-block iteration
+        active = kk >= 0
+        base = u4r - r_ - WARP_SIZE * kk
+        lane_valid = (
+            active[:, :, None]
+            & ((kk[:, :, None] > 0) | (lanes[None, None, :] < r_[:, :, None]))
+        ).reshape(nrows, 4 * WARP_SIZE)
+
+        s_bar = (st & state_mask).astype(np.int64)
+        sym = lut_sym[s_bar]
+        pdfv = lut_pdf[s_bar]
+        smc = lut_s_minus_cdf[s_bar]
+        st = np.where(lane_valid, pdfv * (st >> U32(prob_bits)) + smc, st)
+
+        pos = (block_base[:, :, None] + base[:, :, None] + lanes[None, None, :]
+               ).reshape(nrows, 4 * WARP_SIZE)
+        out_padded[pos[lane_valid]] = sym[lane_valid]
+
+        read = lane_valid & (st < U32(ANS_MIN_STATE))
+        suffix = np.cumsum(read[:, ::-1], axis=1)[:, ::-1]
+        rd_idx = ptr[:, None] - suffix
+        rd_idx_safe = np.clip(rd_idx, 0, streams.shape[1] - 1)
+        vals = np.take_along_axis(streams, rd_idx_safe, axis=1).astype(U32)
+        st = np.where(read, (st << U32(16)) + vals, st)
+        ptr = ptr - read.sum(axis=1)
+
+    return out_padded[:n].copy(), header
 
 
 # ---------------------------------------------------------------------------

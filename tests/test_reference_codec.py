@@ -165,3 +165,81 @@ def test_bitmap_pack_msb_first():
     assert packed[0] == 0b10000001
     assert packed[1] == 0b10000000
     assert np.array_equal(R.unpack_bitmap(packed, 9), nz)
+
+
+class TestNativeRowStreamLayout:
+    """The TPU-native row-stream archive layout (magic 0xDB0D): oracle
+    round trip, section equality with the classic layout, and size
+    accounting. The JAX codec's kernels for this mode are future work;
+    this is the executable format spec."""
+
+    def _roundtrip(self, data, pb=10):
+        from dietgpu_fork_tpu.core import reference as R
+
+        arch = R.ans_encode_native(data, prob_bits=pb)
+        out, hdr = R.ans_decode_native(arch, expected_prob_bits=pb)
+        assert hdr.native
+        assert np.array_equal(out, data)
+        return arch
+
+    def test_roundtrip_sizes_and_lambdas(self, rng):
+        from dietgpu_fork_tpu.core import reference as R
+
+        for n in (0, 1, 31, 4095, 4096, 4097, 5 * 4096 + 7, 65536):
+            for lam in (1.0, 40.0):
+                d = np.minimum(
+                    rng.exponential(lam, n), 255
+                ).astype(np.uint8)
+                arch = self._roundtrip(d)
+                classic = R.ans_encode(d)
+                # native saves alignment waste: never larger
+                assert arch.size <= classic.size
+                if n:
+                    # header fields (minus magic), probs, states and
+                    # blockWords.x match the classic archive exactly
+                    nb = R.num_blocks(n)
+                    so = R.ANSHeader.states_offset()
+                    bo = R.ANSHeader.block_words_offset(nb)
+                    assert np.array_equal(
+                        arch[4:12], classic[4:12]
+                    )  # nb, total uncompressed
+                    assert np.array_equal(
+                        arch[16 : so + 128 * nb],
+                        classic[16 : so + 128 * nb],
+                    )  # options..checksum, probs, states
+                    bw_n = arch[bo : bo + 8 * nb].view(np.uint32).reshape(-1, 2)
+                    bw_c = classic[bo : bo + 8 * nb].view(np.uint32).reshape(-1, 2)
+                    assert np.array_equal(bw_n[:, 0], bw_c[:, 0])
+
+    def test_self_describing_dispatch(self, rng):
+        from dietgpu_fork_tpu.core import reference as R
+
+        d = rng.integers(0, 256, 10000).astype(np.uint8)
+        arch = R.ans_encode_native(d)
+        out, hdr = R.ans_decode(arch)  # classic entry dispatches on magic
+        assert hdr.native and np.array_equal(out, d)
+
+    def test_row_segments_are_16b_aligned_and_packed(self, rng):
+        from dietgpu_fork_tpu.core import reference as R
+
+        d = rng.integers(0, 256, 9 * 4096 + 123).astype(np.uint8)
+        arch = R.ans_encode_native(d)
+        hdr = R.ANSHeader.unpack(arch[:32].view(np.uint32))
+        nb = hdr.num_blocks
+        bo = R.ANSHeader.block_words_offset(nb)
+        bw = arch[bo : bo + 8 * nb].view(np.uint32).reshape(nb, 2)
+        starts = bw[:, 1]
+        # duplicated within each row, 8-u16 (16 B) aligned, non-decreasing
+        rows = -(-nb // 4)
+        for r in range(rows):
+            blks = starts[4 * r : 4 * r + 4]
+            assert (blks == blks[0]).all()
+            assert blks[0] % 8 == 0
+        cw = (bw[:, 0] & 0xFFFF).astype(np.int64)
+        rw = np.zeros(rows, np.int64)
+        for b in range(nb):
+            rw[b // 4] += cw[b]
+        aligned = ((rw + 7) // 8) * 8
+        pref = np.concatenate([[0], np.cumsum(aligned)[:-1]])
+        assert np.array_equal(starts[0::4].astype(np.int64), pref)
+        assert hdr.total_compressed_words == int(aligned.sum())
