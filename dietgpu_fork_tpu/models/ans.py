@@ -45,6 +45,11 @@ I32 = jnp.int32
 U32 = jnp.uint32
 
 _ANS_MAGIC_VERSION = (0xD00D << 16) | 0x0001
+# TPU-native ROW-STREAM layout (opt-in; versioned via the header's
+# magic+version word exactly as the reference's mechanism allows,
+# GpuANSUtils.cuh:52-55). Executable spec: core/reference.py
+# ans_encode_native / ans_decode_native.
+_ANS_MAGIC_NATIVE_VERSION = (0xDB0D << 16) | 0x0001
 _META_WORDS = 136  # header (8) + packed pdf table (128)
 
 
@@ -67,6 +72,7 @@ def ans_encode_sections(
     hist: Optional[jax.Array] = None,
     s_bytes: Optional[int] = None,
     hist_totals: Optional[jax.Array] = None,
+    native: bool = False,
 ):
     """Encode and return the archive as runs instead of merging them.
 
@@ -101,15 +107,33 @@ def ans_encode_sections(
     xp = jnp.pad(x32, ((0, 0), (0, pad))) if pad else x32
 
     packed = pack_encode_table(pdf, cdf, shift)
-    states, streams32, num_words = encode_blocks(
-        xp, sizes, packed, magic, prob_bits
-    )
+    if native:
+        from ..ops.rans_encode import encode_blocks_rows
+
+        states, streams32, num_words = encode_blocks_rows(
+            xp, sizes, packed, magic, prob_bits
+        )
+    else:
+        states, streams32, num_words = encode_blocks(
+            xp, sizes, packed, magic, prob_bits
+        )
 
     nb = _num_blocks_dyn(sizes)
-    # aligned exclusive prefix of per-block word counts (16B units = 8 words)
-    aligned = ((num_words + 7) // 8) * 8
-    incl = jnp.cumsum(aligned, axis=1)
-    prefix = incl - aligned
+    NR = -(-NB // 4)
+    if native:
+        # 16B-aligned exclusive prefix per ROW of 4 blocks; blockWords.y
+        # holds the row start, duplicated across the row's blocks
+        nw4 = jnp.pad(num_words, ((0, 0), (0, 4 * NR - NB)))
+        row_words = nw4.reshape(B, NR, 4).sum(axis=2)
+        aligned = ((row_words + 7) // 8) * 8
+        incl = jnp.cumsum(aligned, axis=1)
+        row_prefix = incl - aligned
+        prefix = jnp.repeat(row_prefix, 4, axis=1)[:, :NB]
+    else:
+        # aligned exclusive prefix of per-block word counts (16B = 8 words)
+        aligned = ((num_words + 7) // 8) * 8
+        incl = jnp.cumsum(aligned, axis=1)
+        prefix = incl - aligned
     total_words = incl[:, -1].astype(U32)
 
     blk = jnp.arange(NB, dtype=I32)[None, :]
@@ -118,9 +142,10 @@ def ans_encode_sections(
     ).astype(U32)
 
     options = u32(prob_bits | (int(use_checksum) << 4))
+    magic_word = _ANS_MAGIC_NATIVE_VERSION if native else _ANS_MAGIC_VERSION
     hdr8 = jnp.stack(
         [
-            jnp.full((B,), _ANS_MAGIC_VERSION, U32),
+            jnp.full((B,), magic_word, U32),
             nb.astype(U32),
             sizes.astype(U32),
             total_words,
@@ -149,7 +174,8 @@ def ans_encode_sections(
     ).reshape(B, 2 * NB)
     PW = pairs.shape[1]
     K1 = streams32.shape[2]
-    sections = [meta_src, pairs, streams32.reshape(B, NB * K1)]
+    NS = NR if native else NB
+    sections = [meta_src, pairs, streams32.reshape(B, NS * K1)]
     off_pairs = B * MW
     off_streams = off_pairs + B * PW
 
@@ -160,9 +186,17 @@ def ans_encode_sections(
     dstB = bw_off[:, None]
     srcB = (off_pairs + b_ar * PW)[:, None]
     lenB = (2 * nb)[:, None]
-    dstC = data_off[:, None] + (prefix.astype(I32) >> 1)
-    srcC = off_streams + (b_ar[:, None] * NB + blk) * K1
-    lenC = jnp.where(live, (num_words + 1) >> 1, 0)
+    if native:
+        # one tightly-packed stream segment per ROW: 4x fewer merge pieces
+        row_ar = jnp.arange(NR, dtype=I32)[None, :]
+        row_live = row_ar < (-(-nb // 4))[:, None]
+        dstC = data_off[:, None] + (row_prefix.astype(I32) >> 1)
+        srcC = off_streams + (b_ar[:, None] * NR + row_ar) * K1
+        lenC = jnp.where(row_live, (row_words + 1) >> 1, 0)
+    else:
+        dstC = data_off[:, None] + (prefix.astype(I32) >> 1)
+        srcC = off_streams + (b_ar[:, None] * NB + blk) * K1
+        lenC = jnp.where(live, (num_words + 1) >> 1, 0)
 
     dst_rel = jnp.concatenate([dstA, dstB, dstC], axis=1)
     src_rel = jnp.concatenate([srcA, srcB, srcC], axis=1)
@@ -178,6 +212,7 @@ def ans_encode_core(
     hist: Optional[jax.Array] = None,
     s_bytes: Optional[int] = None,
     hist_totals: Optional[jax.Array] = None,
+    native: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Compress batch rows to coalesced ANS archives in uint32 words.
 
@@ -201,7 +236,7 @@ def ans_encode_core(
     NB = max(1, -(-S // BLOCK_SIZE))
     sections, dst_rel, src_rel, lens, comp_bytes = ans_encode_sections(
         x32, sizes, prob_bits, use_checksum, hist, s_bytes=S,
-        hist_totals=hist_totals,
+        hist_totals=hist_totals, native=native,
     )
 
     # tight buffer: metadata + fully incompressible streams for NB blocks
@@ -232,6 +267,7 @@ def ans_encode_padded(
     hist: Optional[jax.Array] = None,
     out_bytes: Optional[int] = None,
     hist_totals: Optional[jax.Array] = None,
+    native: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Byte-row wrapper around ans_encode_core with the reference's
     ``max_compressed_size`` output-buffer contract (zero padded)."""
@@ -242,7 +278,7 @@ def ans_encode_padded(
     x32 = mask_packed_bytes(bitcast_u8_to_u32(x_u8), sizes.astype(I32))
     out32, comp_bytes = ans_encode_core(
         x32, sizes, prob_bits, use_checksum, hist, s_bytes=S,
-        hist_totals=hist_totals,
+        hist_totals=hist_totals, native=native,
     )
     comp = bitcast_u32_to_u8(out32)
     cb = out_bytes if out_bytes is not None else max_compressed_size(S)
@@ -257,6 +293,7 @@ def _ans_parse_and_stage(
     out_capacity: int,
     capacities: Optional[jax.Array],
     prob_bits: int,
+    native: bool = False,
 ):
     """Shared decode front half: header parse + validation, capacity check,
     and the states/blockWords/stream staging merges. On TPU the stream
@@ -288,7 +325,9 @@ def _ans_parse_and_stage(
     options = hdr[:, 4]
     csum = hdr[:, 5]
 
-    magic_ok = hdr[:, 0] == u32(_ANS_MAGIC_VERSION)
+    magic_ok = hdr[:, 0] == u32(
+        _ANS_MAGIC_NATIVE_VERSION if native else _ANS_MAGIC_VERSION
+    )
     pb_ok = (options & u32(0xF)) == u32(prob_bits)
     struct_ok = (n >= 0) & (total_w >= 0) & (nb_arch == _num_blocks_dyn(n))
     nb_safe = jnp.clip(nb_arch, 0, 1 << 24)
@@ -348,30 +387,49 @@ def _ans_parse_and_stage(
     comp_w = jnp.where(live, (bx & u32(0xFFFF)).astype(I32), 0)
     starts = jnp.where(live, by.astype(I32), 0)
 
-    # stream staging: each block's compressed words into dense (B, NB, SW)
-    # rows (uint16 word k of a block lives at staged word k>>1, half k&1).
-    # On TPU the staging is END-aligned (words at [SW-cw32, SW)) for the
-    # v2 decoder's lane-group layout; the CPU reference path start-aligns.
-    r_flat = (b_ar[:, None] * NB + blk).reshape(-1)
-    src2 = ((abs_base + data_off)[:, None] + (starts >> 1)).reshape(-1)
-    len2 = jnp.where(live, (comp_w + 1) >> 1, 0).reshape(-1)
+    # stream staging. Classic: each block's compressed words into dense
+    # (B, NB, SW) rows (uint16 word k of a block lives at staged word k>>1,
+    # half k&1). Native row-stream: ONE segment per row of 4 blocks —
+    # 4x fewer merge pieces — staged into (B, NR, SW) with the row's word
+    # count. On TPU the staging is END-aligned (words at [SW-len32, SW))
+    # for the v2 decoder; the CPU reference path start-aligns.
+    if native:
+        NR = -(-NB // 4)
+        from ..ops.rans_encode import MAX_ROW_WORDS32
+
+        cw4 = jnp.pad(comp_w, ((0, 0), (0, 4 * NR - NB))).reshape(B, NR, 4)
+        seg_words = cw4.sum(axis=2)  # u16 words per row stream
+        # blockWords.y duplicates the row start across the row's blocks
+        seg_starts = starts[:, 0::4]
+        NSEG, MAXW = NR, MAX_ROW_WORDS32
+        seg_idx = jnp.arange(NR, dtype=I32)[None, :]
+    else:
+        seg_words, seg_starts = comp_w, starts
+        NSEG, MAXW = NB, MAX_BLOCK_WORDS32
+        seg_idx = blk
+    r_flat = (b_ar[:, None] * NSEG + seg_idx).reshape(-1)
+    src2 = ((abs_base + data_off)[:, None] + (seg_starts >> 1)).reshape(-1)
+    len2 = ((seg_words + 1) >> 1).reshape(-1)
     if on_tpu:
-        SW = -(-(MAX_BLOCK_WORDS32 + 8) // 32) * 32
+        # chunk width: 32 words (classic per-block lane groups) vs 128
+        # (native full-row chunks)
+        cwid = 128 if native else 32
+        SW = -(-(MAXW + 8) // cwid) * cwid
         dst2 = r_flat * SW + (SW - len2)
     else:
-        SW = MAX_BLOCK_WORDS32 + 8
+        SW = MAXW + 8
         dst2 = r_flat * SW
     if small:
-        SB = B * NB * SW  # stream region, then the states region
+        SB = B * NSEG * SW  # stream region, then the states region
         dst_all = jnp.concatenate([dst2, SB + b_ar * SM])
         src_all = jnp.concatenate([src2, abs_base + _META_WORDS])
         len_all = jnp.concatenate([len2, 32 * nb])
         stage = runs_merge(flat, dst_all, src_all, len_all, SB + B * SM)
-        streams = stage[:SB].reshape(B, NB, SW)
+        streams = stage[:SB].reshape(B, NSEG, SW)
         states = stage[SB:].reshape(B, NB, 32)
     else:
-        streams = runs_merge(flat, dst2, src2, len2, B * NB * SW).reshape(
-            B, NB, SW
+        streams = runs_merge(flat, dst2, src2, len2, B * NSEG * SW).reshape(
+            B, NSEG, SW
         )
     return streams, comp_w, uncomp_w, states, pdf, success, n, csum, NB
 
@@ -382,6 +440,7 @@ def ans_decode_core(
     out_capacity: int,
     prob_bits: int = 10,
     capacities: Optional[jax.Array] = None,
+    native: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Decode ANS archives located at per-member uint32 offsets ``base32``
     within the rows of ``comp32`` (the float codec places its ANS segments at
@@ -395,7 +454,10 @@ def ans_decode_core(
     """
     B = comp32.shape[0]
     streams, comp_w, uncomp_w, states, pdf, success, n, csum, NB = (
-        _ans_parse_and_stage(comp32, base32, out_capacity, capacities, prob_bits)
+        _ans_parse_and_stage(
+            comp32, base32, out_capacity, capacities, prob_bits,
+            native=native,
+        )
     )
     if use_pallas():
         from ..ops.pallas.rans_decode_fused2 import decode_blocks_fused2
@@ -403,7 +465,15 @@ def ans_decode_core(
 
         sym4, symtab = build_decode_tables_split(pdf, prob_bits)
         out_blocks = decode_blocks_fused2(
-            streams, comp_w, uncomp_w, states, sym4, symtab, prob_bits
+            streams, comp_w, uncomp_w, states, sym4, symtab, prob_bits,
+            row_stream=native,
+        )
+    elif native:
+        from ..ops.rans_decode import decode_blocks_rows
+
+        lut = build_decode_table_batched(pdf, prob_bits)
+        out_blocks = decode_blocks_rows(
+            streams, comp_w, uncomp_w, states, lut, prob_bits
         )
     else:
         lut = build_decode_table_batched(pdf, prob_bits)
@@ -425,6 +495,7 @@ def ans_decode_join16_core(
     prob_bits: int,
     bf16: bool,
     capacities: Optional[jax.Array] = None,
+    native: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """TPU-only fused ANS-decode + 16-bit float join: the decoder emits
     final float words directly (reference RUN_FUSED / JoinFloatWriter,
@@ -436,12 +507,14 @@ def ans_decode_join16_core(
 
     B = comp32.shape[0]
     streams, comp_w, uncomp_w, states, pdf, success, n, csum, NB = (
-        _ans_parse_and_stage(comp32, base32, out_floats, capacities, prob_bits)
+        _ans_parse_and_stage(
+            comp32, base32, out_floats, capacities, prob_bits, native=native
+        )
     )
     sym4, symtab = build_decode_tables_split(pdf, prob_bits)
     out_fw = decode_join16_fused(
         streams, comp_w, uncomp_w, states, sym4, symtab, raw32_blocks,
-        prob_bits, bf16,
+        prob_bits, bf16, row_stream=native,
     )
     OW = -(-(2 * out_floats) // 4)
     out32 = out_fw.reshape(B, NB * 2 * (BLOCK_SIZE // 4))[:, :OW]
@@ -458,6 +531,7 @@ def ans_decode_join32_core(
     out_floats: int,
     prob_bits: int,
     capacities: Optional[jax.Array] = None,
+    native: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """TPU-only fused ANS-decode + fp32 join (reference RUN_FUSED for
     kFloat32). sec1_32/sec2_32: block-major raw sections
@@ -468,12 +542,14 @@ def ans_decode_join32_core(
 
     B = comp32.shape[0]
     streams, comp_w, uncomp_w, states, pdf, success, n, csum, NB = (
-        _ans_parse_and_stage(comp32, base32, out_floats, capacities, prob_bits)
+        _ans_parse_and_stage(
+            comp32, base32, out_floats, capacities, prob_bits, native=native
+        )
     )
     sym4, symtab = build_decode_tables_split(pdf, prob_bits)
     out_fw = decode_join32_fused(
         streams, comp_w, uncomp_w, states, sym4, symtab, sec1_32, sec2_32,
-        prob_bits,
+        prob_bits, row_stream=native,
     )
     OW = -(-(4 * out_floats) // 4)
     out32 = out_fw.reshape(B, NB * 4 * (BLOCK_SIZE // 4))[:, :OW]
@@ -487,13 +563,15 @@ def ans_decode_padded(
     out_capacity: int,
     prob_bits: int = 10,
     capacities: Optional[jax.Array] = None,
+    native: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Byte-row wrapper around ans_decode_core (archives at row starts;
     output unpacked back to uint8 rows)."""
     B = comp_u8.shape[0]
     comp32 = bitcast_u8_to_u32(comp_u8)
     out32, success, n, csum = ans_decode_core(
-        comp32, jnp.zeros((B,), I32), out_capacity, prob_bits, capacities
+        comp32, jnp.zeros((B,), I32), out_capacity, prob_bits, capacities,
+        native=native,
     )
     out = bitcast_u32_to_u8(out32)[:, :out_capacity]
     return out, success, n, csum

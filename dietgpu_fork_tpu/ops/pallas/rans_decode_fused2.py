@@ -68,20 +68,27 @@ JOIN_BF16 = 2  # emit (raw | ror1(sym)<<8) u16 floats
 JOIN_F32 = 3  # emit ror1(low16 | sec2<<16 | sym<<24) u32 floats
 
 
-def _suffix_weights():
-    """(128, 256) f32: cols 0..127 = within-32-group inclusive suffix sum,
-    cols 128..255 = 32-group total."""
+def _suffix_weights(row: bool = False):
+    """(128, 256) f32. Classic: cols 0..127 = within-32-group inclusive
+    suffix sum, cols 128..255 = 32-group total (one cursor per block).
+    Row-stream: the suffix/total span all 128 lanes (ONE cursor per row of
+    4 blocks — the native layout's reverse-read order). Counts <= 128,
+    exact in f32."""
     r = jax.lax.broadcasted_iota(I32, (128, 256), 0)
     c = jax.lax.broadcasted_iota(I32, (128, 256), 1)
     cl = c & 127
-    same = (r >> 5) == (cl >> 5)
-    take = same & ((c >= 128) | (r >= cl))
+    if row:
+        take = ((c < 128) & (r >= cl)) | (c >= 128)
+    else:
+        same = (r >> 5) == (cl >> 5)
+        take = same & ((c >= 128) | (r >= cl))
     return jnp.where(take, 1.0, 0.0).astype(F32)
 
 
 def _decode_kernel2(
     st_ref, cw_ref, uw_ref, sym4_ref, stab_ref, stream_ref, *rest,
     prob_bits: int, G4: int, SW: int, SLC: int, join: int,
+    row: bool = False,
 ):
     if join == JOIN_NONE:
         out_ref = rest[0]
@@ -103,7 +110,7 @@ def _decode_kernel2(
         ptr_s[...] = cw_ref[...]
 
     uw = uw_ref[...]  # (G4, 128) i32 per-block byte counts (per lane)
-    cw = cw_ref[...]  # (G4, 128) i32 per-block u16 word counts
+    cw = cw_ref[...]  # (G4, 128) i32 per-block (or per-ROW) u16 word counts
     states = states_s[...]
     ptr = ptr_s[...]
 
@@ -115,7 +122,7 @@ def _decode_kernel2(
     mask = U32((1 << prob_bits) - 1)
     ofs32 = SW - ((cw + 1) >> 1)
     live = uw > 0
-    W = _suffix_weights()
+    W = _suffix_weights(row)
 
     # PER-ROW tables (each G4 row's 4 blocks share one member): lets one
     # cell span many batch members — the reference's bs=128 regime decodes
@@ -160,14 +167,21 @@ def _decode_kernel2(
         tot = so[:, 128:].astype(I32)
         idx16 = ptr - suffix
         gidx = jnp.clip(ofs32 + (idx16 >> 1), 0, SW - 1)
-        lane_t = q32 | (gidx & 31)
-        c2 = gidx >> 5
-        lo_c = jnp.maximum((mn - 17 - 16 * du) >> 5, 0)
+        if row:
+            # one shared cursor per row: full-width 128-word chunks, max
+            # consumption 64 u32 per step across the row
+            lane_t = gidx & 127
+            c2 = gidx >> 7
+            lo_c = jnp.maximum((mn - 65 - 64 * du) >> 7, 0)
+        else:
+            lane_t = q32 | (gidx & 31)
+            c2 = gidx >> 5
+            lo_c = jnp.maximum((mn - 17 - 16 * du) >> 5, 0)
 
         # statically unrolled window read (the common case: end-aligned
-        # staging keeps every block's cursor within a few 32-word chunks);
+        # staging keeps every block's/row's cursor within a few chunks);
         # a dynamic fori tail covers wide windows (mixed-size cells)
-        C2 = SW // 32
+        C2 = SW // (128 if row else 32)
         w32 = jnp.zeros((G4, 128), U32)
         for t in range(_FAST):
             ct = jnp.minimum(lo_c + t, C2 - 1)
@@ -206,7 +220,7 @@ def _decode_kernel2(
     words = []
     for grp in range(_UNROLL // _REBOUND):
         ptrg = ofs32 + (ptr >> 1)
-        hi_c = jnp.max(jnp.where(live, ptrg, 0)) >> 5
+        hi_c = jnp.max(jnp.where(live, ptrg, 0)) >> (7 if row else 5)
         mn = jnp.min(jnp.where(live, ptrg, 2 * SW))
         for du in range(_REBOUND):
             u = grp * _REBOUND + du
@@ -384,6 +398,42 @@ def _stage(streams_ea, comp_words, uncomp_words, states, G):
     return ST, cw, uw, st, NB4, NBF, NBP, CELLS, C2
 
 
+def _stage_rows(streams_row, comp_words, uncomp_words, states, G):
+    """Row-stream staging: end-aligned (B, NR, SW) row streams -> flat-cell
+    chunk-major (128-word chunks); cw carries the ROW u16 word count
+    broadcast to all 128 lanes."""
+    B, NR, SW = streams_row.shape
+    NB = comp_words.shape[1]
+    assert SW % 128 == 0
+    G4 = G // 4
+    NB4, NBF, NBP, CELLS = _flat_geom(B, NB, G)
+    assert NB4 == 4 * NR
+    C2 = SW // 128
+    NRF, NRP = NBF // 4, NBP // 4
+
+    st_f = jnp.pad(
+        streams_row.reshape(B * NR, SW), ((0, NRP - B * NR), (0, 0))
+    )
+    ST = st_f.reshape(CELLS, G4, C2, 128).transpose(0, 2, 1, 3)
+
+    rw = (
+        jnp.pad(comp_words.astype(I32), ((0, 0), (0, NB4 - NB)))
+        .reshape(B, NR, 4)
+        .sum(axis=2)
+    )
+    rw_f = jnp.pad(rw.reshape(B * NR), (0, NRP - B * NR))
+    cw = jnp.repeat(rw_f.reshape(CELLS, G4, 1), 128, axis=2)
+
+    def rep32(a):
+        return jnp.repeat(
+            a.reshape(CELLS, G4, 4, 1), 32, axis=3
+        ).reshape(CELLS, G4, 128)
+
+    uw = rep32(_flatten_blocks(uncomp_words.astype(I32), NB, NB4, NBF, NBP))
+    st = _flatten_blocks(states, NB, NB4, NBF, NBP).reshape(CELLS, G4, 128)
+    return ST, cw, uw, st, NB4, NBF, NBP, CELLS, C2
+
+
 def _unflatten(out, B, NB, NB4, NBF, NBP, X):
     """(CELLS, G4, 4, X*_NJ) kernel output -> (B, NB, X*_NJ)."""
     return out.reshape(1, NBP, out.shape[-1])[:, :NBF].reshape(
@@ -391,7 +441,9 @@ def _unflatten(out, B, NB, NB4, NBF, NBP, X):
     )[:, :NB]
 
 
-@functools.partial(jax.jit, static_argnames=("prob_bits", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("prob_bits", "row_stream", "interpret")
+)
 def decode_blocks_fused2(
     streams_ea: jax.Array,
     comp_words: jax.Array,
@@ -400,18 +452,25 @@ def decode_blocks_fused2(
     sym4: jax.Array,
     symtab: jax.Array,
     prob_bits: int,
+    row_stream: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Plain ANS decode. streams_ea: uint32[B, NB, SW] END-aligned (block
     words at [SW-cw32, SW), SW % 32 == 0); sym4: uint32[B, 2^pb/4] packed
     slot->sym; symtab: uint32[B, 256] = pdf | cdf<<16.
+    row_stream: streams_ea is uint32[B, NR, SW] (NR = ceil(NB/4)) of
+    END-aligned per-ROW native streams (SW % 128 == 0).
     Returns uint32[B, NB, BLOCK_SIZE/4] packed decoded bytes."""
-    B, NB, SW = streams_ea.shape
+    B = streams_ea.shape[0]
+    NB = comp_words.shape[1]
+    SW = streams_ea.shape[2]
     NB4 = -(-NB // 4) * 4
     G = _pick_g(B * NB4)
     G4 = G // 4
-    ST, cw, uw, st, NB4, NBF, NBP, CELLS, C2 = _stage(
-        streams_ea, comp_words, uncomp_words, states, G
+    ST, cw, uw, st, NB4, NBF, NBP, CELLS, C2 = (
+        _stage_rows(streams_ea, comp_words, uncomp_words, states, G)
+        if row_stream
+        else _stage(streams_ea, comp_words, uncomp_words, states, G)
     )
     sym4_r, stab_r, SLC = _row_tables(sym4, symtab, NB4, NBP, G4)
 
@@ -419,7 +478,7 @@ def decode_blocks_fused2(
     out = pallas_call(
         functools.partial(
             _decode_kernel2, prob_bits=prob_bits, G4=G4, SW=SW, SLC=SLC,
-            join=JOIN_NONE,
+            join=JOIN_NONE, row=row_stream,
         ),
         grid=(1, CELLS, _NJ),
         in_specs=[
@@ -470,7 +529,9 @@ def decode_blocks_fused2(
     return _unflatten(out, B, NB, NB4, NBF, NBP, BLOCK_SIZE // 4)
 
 
-@functools.partial(jax.jit, static_argnames=("prob_bits", "bf16", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("prob_bits", "bf16", "row_stream", "interpret")
+)
 def decode_join16_fused(
     streams_ea: jax.Array,
     comp_words: jax.Array,
@@ -481,18 +542,23 @@ def decode_join16_fused(
     raw32: jax.Array,
     prob_bits: int,
     bf16: bool,
+    row_stream: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused ANS-decode + 16-bit float join (reference RUN_FUSED,
     GpuFloatDecompress.cuh:935-972). raw32: uint32[B, NB, 1024] block-major
     raw-section words (raw word k of block nb = bytes of floats 4k..4k+3).
     Returns uint32[B, NB, 2048]: final float words per block."""
-    B, NB, SW = streams_ea.shape
+    B = streams_ea.shape[0]
+    NB = comp_words.shape[1]
+    SW = streams_ea.shape[2]
     NB4 = -(-NB // 4) * 4
     G = _pick_g(B * NB4)
     G4 = G // 4
-    ST, cw, uw, st, NB4, NBF, NBP, CELLS, C2 = _stage(
-        streams_ea, comp_words, uncomp_words, states, G
+    ST, cw, uw, st, NB4, NBF, NBP, CELLS, C2 = (
+        _stage_rows(streams_ea, comp_words, uncomp_words, states, G)
+        if row_stream
+        else _stage(streams_ea, comp_words, uncomp_words, states, G)
     )
     sym4_r, stab_r, SLC = _row_tables(sym4, symtab, NB4, NBP, G4)
     raw_c = _flatten_blocks(raw32, NB, NB4, NBF, NBP).reshape(
@@ -503,7 +569,7 @@ def decode_join16_fused(
     out = pallas_call(
         functools.partial(
             _decode_kernel2, prob_bits=prob_bits, G4=G4, SW=SW, SLC=SLC,
-            join=JOIN_BF16 if bf16 else JOIN_F16,
+            join=JOIN_BF16 if bf16 else JOIN_F16, row=row_stream,
         ),
         grid=(1, CELLS, _NJ),
         in_specs=[
@@ -559,7 +625,9 @@ def decode_join16_fused(
     return _unflatten(out, B, NB, NB4, NBF, NBP, 2 * (BLOCK_SIZE // 4))
 
 
-@functools.partial(jax.jit, static_argnames=("prob_bits", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("prob_bits", "row_stream", "interpret")
+)
 def decode_join32_fused(
     streams_ea: jax.Array,
     comp_words: jax.Array,
@@ -570,18 +638,23 @@ def decode_join32_fused(
     sec1_32: jax.Array,
     sec2_32: jax.Array,
     prob_bits: int,
+    row_stream: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused ANS-decode + fp32 join (reference RUN_FUSED for kFloat32,
     GpuFloatDecompress.cuh:935-972). sec1_32: uint32[B, NB, 2048]
     block-major low-u16 pairs; sec2_32: uint32[B, NB, 1024] block-major
     third bytes. Returns uint32[B, NB, 4096]: final fp32 words."""
-    B, NB, SW = streams_ea.shape
+    B = streams_ea.shape[0]
+    NB = comp_words.shape[1]
+    SW = streams_ea.shape[2]
     NB4 = -(-NB // 4) * 4
     G = _pick_g(B * NB4)
     G4 = G // 4
-    ST, cw, uw, st, NB4, NBF, NBP, CELLS, C2 = _stage(
-        streams_ea, comp_words, uncomp_words, states, G
+    ST, cw, uw, st, NB4, NBF, NBP, CELLS, C2 = (
+        _stage_rows(streams_ea, comp_words, uncomp_words, states, G)
+        if row_stream
+        else _stage(streams_ea, comp_words, uncomp_words, states, G)
     )
     sym4_r, stab_r, SLC = _row_tables(sym4, symtab, NB4, NBP, G4)
     s1c = _flatten_blocks(sec1_32, NB, NB4, NBF, NBP).reshape(
@@ -595,7 +668,7 @@ def decode_join32_fused(
     out = pallas_call(
         functools.partial(
             _decode_kernel2, prob_bits=prob_bits, G4=G4, SW=SW, SLC=SLC,
-            join=JOIN_F32,
+            join=JOIN_F32, row=row_stream,
         ),
         grid=(1, CELLS, _NJ),
         in_specs=[

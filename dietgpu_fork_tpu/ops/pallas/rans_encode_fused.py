@@ -114,6 +114,7 @@ def _ballot_weights():
 def _encode_kernel(
     sym_ref, val_ref, tab_ref, mag_ref, out_w_ref, out_m_ref,
     out_st_ref, out_nw_ref, states_s, nw_s, *, prob_bits: int, G4: int,
+    native: bool = False,
 ):
     j = pl.program_id(2)
 
@@ -185,9 +186,9 @@ def _encode_kernel(
             hi_sym, jnp.take_along_axis(mag_bc[1], t_lane, axis=1), mg
         )
 
-        # unpack_encode_table layout: pdf | cdf<<11 | shift<<23
-        pdf = ent & U32(0x7FF)
-        cdf = (ent >> U32(11)) & U32(0xFFF)
+        # unpack_encode_table layout: pdf | cdf<<12 | shift<<23
+        pdf = ent & U32(0xFFF)
+        cdf = (ent >> U32(12)) & U32(0x7FF)
         shift = ent >> U32(23)
         # pdf==0 rows carry shift 32+; clamp (unsigned min doesn't lower)
         shift = jnp.where(shift > U32(31), U32(31), shift)
@@ -219,24 +220,43 @@ def _encode_kernel(
     states_s[...] = states
     nw_s[...] = nw
 
-    # words staged CHUNK-major, packed two u16 per lane: this invocation's
-    # 16 steps form two 8-step chunks so phase B can index chunks on a
-    # leading ref dim (dynamic lane slicing is not a thing on TPU)
-    pk_idx = ((lane >> 4) * 32 + 2 * (lane & 15)) & 127  # lanes >=64 unused
-    packed_out = []
-    for wo in words_out:
-        e = jnp.take_along_axis(wo, pk_idx, axis=1)
-        o = jnp.take_along_axis(wo, pk_idx + 1, axis=1)
-        packed_out.append(e | (o << U32(16)))
-    for half in range(2):
-        for q in range(4):
-            out_w_ref[half, :, q, :] = jnp.concatenate(
-                [
-                    pw[:, q * 16 : (q + 1) * 16]
-                    for pw in packed_out[half * 8 : half * 8 + 8]
-                ],
-                axis=1,
-            )
+    if native:
+        # ROW-STREAM staging: emission order is (step, block, lane) across
+        # the full 128-lane row, so flat u16 index f = step*128 + lane.
+        # Pack lane pairs (2k, 2k+1) into u32s (lanes 0..63) and stack TWO
+        # steps per 128-lane chunk row: staged u32 (f >> 1) sits at chunk
+        # f >> 8, lane (f >> 1) & 127 — the same fetch formula phase B
+        # already uses for the per-block layout.
+        pk2 = (2 * lane) & 127
+        hi_half = lane >= 64
+        packed_n = []
+        for wo in words_out:
+            e = jnp.take_along_axis(wo, pk2, axis=1)
+            o = jnp.take_along_axis(wo, (pk2 + 1) & 127, axis=1)
+            packed_n.append(e | (o << U32(16)))  # lanes 0..63 valid
+        for c in range(_UNROLL // 2):
+            odd = pltpu.roll(packed_n[2 * c + 1], 64, 1)
+            out_w_ref[c] = jnp.where(hi_half, odd, packed_n[2 * c])
+    else:
+        # words staged CHUNK-major, packed two u16 per lane: this
+        # invocation's 16 steps form two 8-step chunks so phase B can index
+        # chunks on a leading ref dim (dynamic lane slicing is not a thing
+        # on TPU)
+        pk_idx = ((lane >> 4) * 32 + 2 * (lane & 15)) & 127  # >=64 unused
+        packed_out = []
+        for wo in words_out:
+            e = jnp.take_along_axis(wo, pk_idx, axis=1)
+            o = jnp.take_along_axis(wo, pk_idx + 1, axis=1)
+            packed_out.append(e | (o << U32(16)))
+        for half in range(2):
+            for q in range(4):
+                out_w_ref[half, :, q, :] = jnp.concatenate(
+                    [
+                        pw[:, q * 16 : (q + 1) * 16]
+                        for pw in packed_out[half * 8 : half * 8 + 8]
+                    ],
+                    axis=1,
+                )
     # one mask lane per (block, step): lanes 0..15 = (step u, group g).
     # Mosaic's lane gather needs idx shape == operand shape, so gather
     # full-width with idx lane*32 mod 128 (lanes 0..3 = group starts) and
@@ -393,13 +413,143 @@ def _compact_kernel(
         out_ref[...] = jnp.zeros((G, 128), U32)
 
 
-@functools.partial(jax.jit, static_argnames=("prob_bits", "interpret"))
+_NCHR = 4 * _SOW // 128  # 40 output u32 chunks per row stream
+
+
+def _compact_kernel_rows(
+    nwmax_ref, words_ref, masks_ref, out_ref, csum_s, cq_s, ws, *, G4: int,
+):
+    """Phase B for the ROW-STREAM native layout. Output u16 index w of a
+    row maps to emission (step s, block q, lane lb): s by binary search of
+    the row's per-step emission-count cumsum (counts summed over the row's
+    4 blocks), q by ranking against the step's per-block popcount prefix
+    (packed c1|c2<<8|c3<<16, each <= 96), lb by a 32-bit rank-select within
+    block q's step mask. Two independent searches per staged u32 word —
+    the per-block kernel's paired-search/ctz shortcut does not carry over
+    because the odd u16 may cross a block boundary within the same step."""
+    cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    ch = pl.program_id(2)
+    lane = jax.lax.broadcasted_iota(I32, (G4, 128), 1)
+
+    m = [masks_ref[q] for q in range(4)]
+
+    @pl.when(ch == 0)
+    def _():
+        c1 = _popcount32(m[0])
+        c2 = c1 + _popcount32(m[1])
+        c3 = c2 + _popcount32(m[2])
+        counts = c3 + _popcount32(m[3])
+        incl = counts
+        for k in (1, 2, 4, 8, 16, 32, 64):
+            shifted = pltpu.roll(incl, k, 1)
+            incl = incl + jnp.where(lane >= k, shifted, 0)
+        csum_s[...] = incl - counts  # exclusive cumsum over the 128 steps
+        cq_s[...] = (
+            c1.astype(U32)
+            | (c2.astype(U32) << U32(8))
+            | (c3.astype(U32) << U32(16))
+        )
+
+    base = ch * 256  # first u16 index of this output chunk (128 u32)
+
+    @pl.when(base < nwmax_ref[cell])
+    def _():
+        csum = csum_s[...]
+        cq = cq_s[...]
+        nw = csum[:, 127:128] + (
+            _popcount32(m[0][:, 127:128])
+            + _popcount32(m[1][:, 127:128])
+            + _popcount32(m[2][:, 127:128])
+            + _popcount32(m[3][:, 127:128])
+        )
+
+        def locate(w):
+            lo = jnp.zeros((G4, 128), I32)
+            for width in (64, 32, 16, 8, 4, 2, 1):
+                mid = jnp.minimum(lo + width, 127)
+                probe = jnp.take_along_axis(csum, mid, axis=1)
+                lo = jnp.where(probe <= w, mid, lo)
+            s = lo
+            r = w - jnp.take_along_axis(csum, s, axis=1)
+            cqs = jnp.take_along_axis(cq, s, axis=1)
+            c1 = (cqs & U32(0xFF)).astype(I32)
+            c2 = ((cqs >> U32(8)) & U32(0xFF)).astype(I32)
+            c3 = ((cqs >> U32(16)) & U32(0xFF)).astype(I32)
+            q = (
+                (r >= c1).astype(I32)
+                + (r >= c2).astype(I32)
+                + (r >= c3).astype(I32)
+            )
+            mq = jnp.take_along_axis(m[0], s, axis=1)
+            for qq in range(1, 4):
+                g = jnp.take_along_axis(m[qq], s, axis=1)
+                mq = jnp.where(q == qq, g, mq)
+            rsub = r - jnp.where(
+                q == 0,
+                0,
+                jnp.where(q == 1, c1, jnp.where(q == 2, c2, c3)),
+            )
+            lb = _rank_select32(mq, rsub)
+            return s * 128 + q * 32 + lb
+
+        w0 = base + lane * 2
+        flat0 = locate(w0)
+        flat1 = locate(w0 + 1)
+        valid0 = w0 < nw
+        valid1 = (w0 + 1) < nw
+        fc0 = flat0 >> 8
+        fc1 = flat1 >> 8
+        CC = 4 * STEPS_PER_BLOCK * WARP_SIZE // 256  # 64 source chunks
+        c_lo = jnp.minimum(
+            jnp.min(jnp.where(valid0, fc0, CC - 1)),
+            jnp.min(jnp.where(valid1, fc1, CC - 1)),
+        )
+        c_hi = jnp.maximum(
+            jnp.max(jnp.where(valid0, fc0, 0)),
+            jnp.max(jnp.where(valid1, fc1, 0)),
+        )
+
+        def fetch(flat, fchunk):
+            # a 256-u16 output chunk covers >= 2 steps = >= 2 source
+            # chunks; 4 static reads cover the dense case, the fori tail
+            # covers sparse rows whose emissions spread over many steps
+            fl = (flat >> 1) & 127
+            w32 = jnp.zeros((G4, 128), U32)
+            for t in range(4):
+                c = jnp.minimum(c_lo + t, CC - 1)
+                g = jnp.take_along_axis(words_ref[c], fl, axis=1)
+                w32 = jnp.where(fchunk == c_lo + t, g, w32)
+            ws[...] = w32
+
+            @pl.when(c_hi - c_lo >= 4)
+            def _():
+                def rd(c, _):
+                    g = jnp.take_along_axis(words_ref[c], fl, axis=1)
+                    ws[...] = jnp.where(fchunk == c, g, ws[...])
+                    return 0
+
+                jax.lax.fori_loop(c_lo + 4, c_hi + 1, rd, 0, unroll=False)
+
+            v = ws[...]
+            return jnp.where((flat & 1) == 1, v >> U32(16), v & U32(0xFFFF))
+
+        lo16 = jnp.where(valid0, fetch(flat0, fc0), U32(0))
+        hi16 = jnp.where(valid1, fetch(flat1, fc1), U32(0))
+        out_ref[...] = lo16 | (hi16 << U32(16))
+
+    @pl.when(base >= nwmax_ref[cell])
+    def _():
+        out_ref[...] = jnp.zeros((G4, 128), U32)
+
+
+@functools.partial(jax.jit, static_argnames=("prob_bits", "native", "interpret"))
 def encode_blocks_fused(
     x32: jax.Array,
     sizes: jax.Array,
     packed_table: jax.Array,
     magic_table: jax.Array,
     prob_bits: int,
+    native: bool = False,
     interpret: bool = False,
 ):
     """Pallas path of ops.rans_encode.encode_blocks (same contract).
@@ -408,7 +558,10 @@ def encode_blocks_fused(
     sizes int32[B] (bytes); packed_table/magic_table: uint32[B, 256].
 
     Returns (states uint32[B, NB, 32], streams32 uint32[B, NB, SOW],
-    num_words int32[B, NB]).
+    num_words int32[B, NB]). With native=True the streams are compacted
+    per ROW of 4 blocks in the ROW-STREAM interleaved order
+    (ops.rans_encode.encode_blocks_rows contract): streams32 is
+    uint32[B, NR, 4*SOW] with NR = ceil(NB/4).
 
     Block space is FLAT across the batch: every member's blocks (padded to
     a multiple of 4 so kernel rows never straddle members) are concatenated
@@ -467,8 +620,27 @@ def encode_blocks_fused(
     cells = CELLS
     grid_a = (1, CELLS, _NJ)
 
+    if native:
+        w_spec = pl.BlockSpec(
+            (None, _UNROLL // 2, G4, 128),
+            lambda b, t, j: (b * cells + t, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        w_shape = jax.ShapeDtypeStruct(
+            (CELLS, _NJ * (_UNROLL // 2), G4, 128), U32
+        )
+    else:
+        w_spec = pl.BlockSpec(
+            (None, 2, G4, 4, 128),
+            lambda b, t, j: (b * cells + t, j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        w_shape = jax.ShapeDtypeStruct((CELLS, 2 * _NJ, G4, 4, 128), U32)
+
     words_d, masks_d, st_d, nw_d = pallas_call(
-        functools.partial(_encode_kernel, prob_bits=prob_bits, G4=G4),
+        functools.partial(
+            _encode_kernel, prob_bits=prob_bits, G4=G4, native=native
+        ),
         grid=grid_a,
         in_specs=[
             pl.BlockSpec(
@@ -490,11 +662,7 @@ def encode_blocks_fused(
             ),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (None, 2, G4, 4, 128),
-                lambda b, t, j: (b * cells + t, j, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            w_spec,
             pl.BlockSpec(
                 (None, None, G4, _UNROLL * 4),
                 lambda b, t, j: (b * cells + t, j, 0, 0),
@@ -510,9 +678,7 @@ def encode_blocks_fused(
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(
-                (CELLS, 2 * _NJ, G4, 4, 128), U32
-            ),
+            w_shape,
             jax.ShapeDtypeStruct((CELLS, _NJ, G4, _UNROLL * 4), U32),
             jax.ShapeDtypeStruct((CELLS, G4, 128), U32),
             jax.ShapeDtypeStruct((CELLS, G4, 4), I32),
@@ -527,57 +693,112 @@ def encode_blocks_fused(
         interpret=interpret,
     )(sym, vn, tab2, mag2)
 
-    # phase-A words are chunk-major u16 pairs: [cell, chunk, g, lane]
-    words_pb = words_d.reshape(CELLS, 16, G, 128)
-    # masks: [cell, j, g4, u*4 + gb] -> [cell, g, 128 steps] (tiny array)
-    masks_pb = (
-        masks_d.reshape(CELLS, _NJ, G4, _UNROLL, 4)
-        .transpose(0, 2, 4, 1, 3)
-        .reshape(CELLS, G, STEPS_PER_BLOCK)
-    )
+    if native:
+        # phase-A words: [cell, 64 chunks (2 steps each), g4, lane]
+        words_pb = words_d.reshape(CELLS, 8 * _NJ, G4, 128)
+        # masks: [cell, j, g4, u*4 + gb] -> [cell, q, g4, 128 steps]
+        masks_pb = (
+            masks_d.reshape(CELLS, _NJ, G4, _UNROLL, 4)
+            .transpose(0, 4, 2, 1, 3)
+            .reshape(CELLS, 4, G4, STEPS_PER_BLOCK)
+        )
+        # per-cell upper bound on emitted u16 words per ROW
+        nwmax = jnp.max(
+            nw_d.reshape(CELLS, G4, 4).sum(axis=2), axis=1
+        ).astype(I32)
 
-    # per-cell upper bound on emitted u16 words (drives phase-B early-out)
-    nwmax = jnp.max(nw_d.reshape(CELLS, G), axis=1).astype(I32)
-
-    grid_b = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(1, CELLS, _NCH),
-        in_specs=[
-            pl.BlockSpec(
-                (None, 16, G, 128),
-                lambda b, t, c, nw_: (b * cells + t, 0, 0, 0),
+        grid_b = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1, CELLS, _NCHR),
+            in_specs=[
+                pl.BlockSpec(
+                    (None, 8 * _NJ, G4, 128),
+                    lambda b, t, c, nw_: (b * cells + t, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (None, 4, G4, STEPS_PER_BLOCK),
+                    lambda b, t, c, nw_: (b * cells + t, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (None, G4, 128),
+                lambda b, t, c, nw_: (b * cells + t, 0, c),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (None, G, STEPS_PER_BLOCK),
-                lambda b, t, c, nw_: (b * cells + t, 0, 0),
+            scratch_shapes=[
+                pltpu.VMEM((G4, 128), I32),
+                pltpu.VMEM((G4, 128), U32),
+                pltpu.VMEM((G4, 128), U32),
+            ],
+        )
+        streams_t = pallas_call(
+            functools.partial(_compact_kernel_rows, G4=G4),
+            grid_spec=grid_b,
+            out_shape=jax.ShapeDtypeStruct((CELLS, G4, _NCHR * 128), U32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(nwmax, words_pb, masks_pb)
+
+        NR = NB4 // 4
+        streams32 = streams_t.reshape(1, NBP // 4, _NCHR * 128)[
+            :, : NBF // 4
+        ].reshape(B, NR, _NCHR * 128)
+    else:
+        # phase-A words are chunk-major u16 pairs: [cell, chunk, g, lane]
+        words_pb = words_d.reshape(CELLS, 16, G, 128)
+        # masks: [cell, j, g4, u*4 + gb] -> [cell, g, 128 steps]
+        masks_pb = (
+            masks_d.reshape(CELLS, _NJ, G4, _UNROLL, 4)
+            .transpose(0, 2, 4, 1, 3)
+            .reshape(CELLS, G, STEPS_PER_BLOCK)
+        )
+
+        # per-cell upper bound on emitted u16 words (phase-B early-out)
+        nwmax = jnp.max(nw_d.reshape(CELLS, G), axis=1).astype(I32)
+
+        grid_b = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1, CELLS, _NCH),
+            in_specs=[
+                pl.BlockSpec(
+                    (None, 16, G, 128),
+                    lambda b, t, c, nw_: (b * cells + t, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (None, G, STEPS_PER_BLOCK),
+                    lambda b, t, c, nw_: (b * cells + t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (None, G, 128),
+                lambda b, t, c, nw_: (b * cells + t, 0, c),
                 memory_space=pltpu.VMEM,
             ),
-        ],
-        out_specs=pl.BlockSpec(
-            (None, G, 128),
-            lambda b, t, c, nw_: (b * cells + t, 0, c),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((G, 128), I32),
-            pltpu.VMEM((G, 128), I32),
-            pltpu.VMEM((G, 128), U32),
-        ],
-    )
-    streams_t = pallas_call(
-        functools.partial(_compact_kernel, G=G),
-        grid_spec=grid_b,
-        out_shape=jax.ShapeDtypeStruct((CELLS, G, _NCH * 128), U32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(nwmax, words_pb, masks_pb)
+            scratch_shapes=[
+                pltpu.VMEM((G, 128), I32),
+                pltpu.VMEM((G, 128), I32),
+                pltpu.VMEM((G, 128), U32),
+            ],
+        )
+        streams_t = pallas_call(
+            functools.partial(_compact_kernel, G=G),
+            grid_spec=grid_b,
+            out_shape=jax.ShapeDtypeStruct((CELLS, G, _NCH * 128), U32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(nwmax, words_pb, masks_pb)
 
-    streams32 = streams_t.reshape(1, NBP, _NCH * 128)[:, :NBF].reshape(
-        B, NB4, _NCH * 128
-    )[:, :NB]
+        streams32 = streams_t.reshape(1, NBP, _NCH * 128)[:, :NBF].reshape(
+            B, NB4, _NCH * 128
+        )[:, :NB]
 
     # states back to (B, NB, 32): [cell, g4, gb*32+lb] -> [b, nb, 32]
     states = (

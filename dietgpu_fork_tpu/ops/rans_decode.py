@@ -130,3 +130,104 @@ def decode_blocks(
     from .bitops import bitcast_u8_to_u32
 
     return bitcast_u8_to_u32(out)
+
+
+def decode_blocks_rows(
+    streams_row: jax.Array,
+    comp_words: jax.Array,
+    uncomp_words: jax.Array,
+    states: jax.Array,
+    lut: jax.Array,
+    prob_bits: int,
+) -> jax.Array:
+    """Decode ROW-STREAM native archives (core/reference.py
+    ans_decode_native): each row of 4 consecutive blocks shares ONE
+    reverse-read cursor over its interleaved stream.
+
+    streams_row: uint32[B, NR, SWR] per-row staged streams (start-aligned
+    u16 pairs); comp_words/uncomp_words: int32[B, NB] per BLOCK; states:
+    uint32[B, NB, 32]. Returns uint32[B, NB, 1024] packed decoded bytes.
+
+    The walk is BOTTOM-aligned: block decode iteration k = i - (S - nsteps)
+    so that at global iteration i every active block of a row is processing
+    the same encode step (S - 1 - i) — the interleaved stream's reverse
+    order is then a single suffix count over the row's 128 lanes.
+    """
+    from .pallas.lookup import chunked_lookup, rowwise_lookup
+    from .bitops import bitcast_u8_to_u32
+
+    B, NR, SWR = streams_row.shape
+    NB = comp_words.shape[1]
+    NB4 = 4 * NR
+    lanes32 = jnp.arange(WARP_SIZE, dtype=I32)
+
+    def pad4(a, fill=0):
+        return jnp.pad(
+            a, [(0, 0), (0, NB4 - NB)] + [(0, 0)] * (a.ndim - 2),
+            constant_values=fill,
+        )
+
+    uw = pad4(uncomp_words.astype(I32)).reshape(B, NR, 4)
+    cw = pad4(comp_words.astype(I32)).reshape(B, NR, 4)
+    r = ((uw - 1) % WARP_SIZE) + 1
+    nsteps = -(-uw // WARP_SIZE)
+    st = pad4(states).reshape(B, NR, 4 * WARP_SIZE)
+    row_words = cw.sum(axis=2)  # u16 words per row stream
+
+    state_mask = u32((1 << prob_bits) - 1)
+    st_rows = streams_row.reshape(B * NR, SWR)
+    S = STEPS_PER_BLOCK
+
+    def step(carry, i):
+        states, ptr = carry
+        k = i - (S - nsteps)  # (B, NR, 4) per-block iteration index
+        active = (k >= 0) & (uw > 0)
+        lane_valid = (
+            active[:, :, :, None]
+            & ((k[:, :, :, None] > 0) | (lanes32[None, None, None, :] < r[:, :, :, None]))
+        ).reshape(B, NR, 4 * WARP_SIZE)
+
+        s_bar = (states & state_mask).astype(I32)
+        ent = chunked_lookup(lut, s_bar.reshape(B, -1)).reshape(s_bar.shape)
+        sym = (ent & u32(0xFF)).astype(jnp.uint8)
+        pdf = (ent >> u32(8)) & u32(0xFFF)
+        smc = ent >> u32(20)
+
+        states = jnp.where(
+            lane_valid, pdf * (states >> u32(prob_bits)) + smc, states
+        )
+
+        read = lane_valid & (states < u32(ANS_MIN_STATE))
+        suffix = jnp.flip(
+            jnp.cumsum(jnp.flip(read.astype(I32), axis=2), axis=2), axis=2
+        )
+        idx16 = ptr[:, :, None] - suffix  # row-relative uint16 index
+        idx32 = jnp.clip(idx16 >> 1, 0, SWR - 1)
+        w32 = rowwise_lookup(
+            st_rows, idx32.reshape(B * NR, 4 * WARP_SIZE)
+        ).reshape(idx16.shape)
+        val = jnp.where((idx16 & 1) == 1, w32 >> u32(16), w32 & u32(0xFFFF))
+        states = jnp.where(read, (states << u32(16)) + val, states)
+        ptr = ptr - read.astype(I32).sum(axis=2)
+        return (states, ptr), sym
+
+    ks = jnp.arange(S, dtype=I32)
+    (_, _), syms = jax.lax.scan(step, (st, row_words), ks)
+
+    # syms: (S, B, NR, 128). Bottom-aligned walk means block iteration k
+    # decodes positions u - r - 32k + lane, and time-reversing the step
+    # axis lays every block's bytes down from position 0 with NO shift
+    # (u = 32 * (nsteps - 1) + r exactly).
+    out = (
+        jnp.flip(syms, axis=0)
+        .reshape(S, B, NR, 4, WARP_SIZE)
+        .transpose(1, 2, 3, 0, 4)
+        .reshape(B, NB4, BLOCK_SIZE)[:, :NB]
+    )
+    p = jnp.arange(BLOCK_SIZE, dtype=I32)
+    out = jnp.where(
+        p[None, None, :] < uncomp_words.astype(I32)[:, :, None],
+        out,
+        jnp.uint8(0),
+    )
+    return bitcast_u8_to_u32(out)

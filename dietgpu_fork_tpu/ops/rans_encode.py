@@ -44,6 +44,8 @@ U32 = jnp.uint32
 # Worst-case uint16 words per block, and uint32 pairs
 MAX_BLOCK_WORDS = raw_comp_block_max_size(BLOCK_SIZE) // 2  # 2560
 MAX_BLOCK_WORDS32 = MAX_BLOCK_WORDS // 2  # 1280
+# Row-stream native layout: one shared stream per row of 4 blocks
+MAX_ROW_WORDS32 = 4 * MAX_BLOCK_WORDS32  # 5120
 
 
 def encode_blocks(
@@ -72,6 +74,119 @@ def encode_blocks(
             x32, sizes, packed_table, magic_table, prob_bits
         )
 
+    states, words, mask = _walk_cpu(
+        x32, sizes, packed_table, magic_table, prob_bits
+    )
+    B = x32.shape[0]
+    NB = words.shape[2]
+
+    # Compact to format order: step-major, lane-ascending within each block.
+    # TPU has no fast vector scatter, so compaction is a per-block sort of
+    # (position << 16 | word) keys — XLA's TPU sort runs vector-wide
+    # (measured ~15x faster than scatter-add). Emission positions are unique
+    # per block, so the packed keys sort stably into stream order.
+    mask_f = mask.transpose(1, 2, 0, 3).reshape(B, NB, BLOCK_SIZE)
+    words_f = words.transpose(1, 2, 0, 3).reshape(B, NB, BLOCK_SIZE)
+
+    inc = jnp.cumsum(mask_f.astype(I32), axis=2)
+    num_words = inc[:, :, -1]
+    wpos = inc - 1  # exclusive position where mask
+
+    key = jnp.where(
+        mask_f,
+        (wpos << 16) | words_f.astype(I32),
+        jnp.int32(0x7FFFFFFF),
+    )
+    skey = jax.lax.sort(key, dimension=2)
+    w16 = (skey[:, :, : 2 * MAX_BLOCK_WORDS32] & 0xFFFF).astype(U32)
+    slot = jnp.arange(2 * MAX_BLOCK_WORDS32, dtype=I32)[None, None, :]
+    w16 = jnp.where(slot < num_words[:, :, None], w16, u32(0))
+    v = w16.reshape(B, NB, MAX_BLOCK_WORDS32, 2)
+    streams32 = v[..., 0] | (v[..., 1] << u32(16))
+    # keep the extra dump column for layout compatibility with callers
+    streams32 = jnp.pad(streams32, ((0, 0), (0, 0), (0, 1)))
+
+    return states, streams32, num_words
+
+
+def encode_blocks_rows(
+    x32: jax.Array,
+    sizes: jax.Array,
+    packed_table: jax.Array,
+    magic_table: jax.Array,
+    prob_bits: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Encode for the ROW-STREAM native layout (core/reference.py
+    ans_encode_native): the per-step emissions of each row of 4 consecutive
+    blocks interleave (step-major; blocks then lanes ascending within a
+    step) into ONE shared stream per row.
+
+    Same walk as encode_blocks; only the compaction differs. Returns
+    (states uint32[B, NB, 32], row_streams32 uint32[B, NR, MAX_ROW_WORDS32]
+    with NR = ceil(NB/4), num_words int32[B, NB])."""
+    if use_pallas():
+        from .pallas.rans_encode_fused import encode_blocks_fused
+
+        return encode_blocks_fused(
+            x32, sizes, packed_table, magic_table, prob_bits, native=True
+        )
+
+    states, words, mask = _walk_cpu(
+        x32, sizes, packed_table, magic_table, prob_bits
+    )
+    B = x32.shape[0]
+    S, _, NB, _ = words.shape
+    NR = -(-NB // 4)
+    NB4 = 4 * NR
+
+    # per-block word counts (blockWords.x keeps them even in native mode)
+    num_words = mask.transpose(1, 2, 0, 3).reshape(B, NB, -1).astype(
+        I32
+    ).sum(axis=2)
+
+    # (S, B, NB, 32) -> (B, NR, S * 128) in (step, block-in-row, lane) order
+    pad = [(0, 0), (0, 0), (0, NB4 - NB), (0, 0)]
+    words_r = (
+        jnp.pad(words, pad)
+        .reshape(S, B, NR, 4 * WARP_SIZE)
+        .transpose(1, 2, 0, 3)
+        .reshape(B, NR, S * 4 * WARP_SIZE)
+    )
+    mask_r = (
+        jnp.pad(mask, pad)
+        .reshape(S, B, NR, 4 * WARP_SIZE)
+        .transpose(1, 2, 0, 3)
+        .reshape(B, NR, S * 4 * WARP_SIZE)
+    )
+
+    inc = jnp.cumsum(mask_r.astype(I32), axis=2)
+    row_words = inc[:, :, -1]
+    wpos = inc - 1
+    # wpos < 4 * 2560 = 10240, so (wpos << 16 | word) fits int32
+    key = jnp.where(
+        mask_r,
+        (wpos << 16) | words_r.astype(I32),
+        jnp.int32(0x7FFFFFFF),
+    )
+    skey = jax.lax.sort(key, dimension=2)
+    w16 = (skey[:, :, : 2 * MAX_ROW_WORDS32] & 0xFFFF).astype(U32)
+    slot = jnp.arange(2 * MAX_ROW_WORDS32, dtype=I32)[None, None, :]
+    w16 = jnp.where(slot < row_words[:, :, None], w16, u32(0))
+    v = w16.reshape(B, NR, MAX_ROW_WORDS32, 2)
+    row_streams32 = v[..., 0] | (v[..., 1] << u32(16))
+    return states, row_streams32, num_words
+
+
+def _walk_cpu(
+    x32: jax.Array,
+    sizes: jax.Array,
+    packed_table: jax.Array,
+    magic_table: jax.Array,
+    prob_bits: int,
+):
+    """The 128-step interleaved encode walk (lax.scan). Returns
+    (states uint32[B, NB, 32], words uint16[S, B, NB, 32],
+    mask bool[S, B, NB, 32])."""
     from .bitops import bitcast_u32_to_u8
 
     x_u8 = bitcast_u32_to_u8(x32)
@@ -117,31 +232,4 @@ def encode_blocks(
 
     init = jnp.full((B, NB, WARP_SIZE), ANS_START_STATE, dtype=U32)
     states, (words, mask) = jax.lax.scan(step, init, (tab, mag, valid))
-
-    # Compact to format order: step-major, lane-ascending within each block.
-    # TPU has no fast vector scatter, so compaction is a per-block sort of
-    # (position << 16 | word) keys — XLA's TPU sort runs vector-wide
-    # (measured ~15x faster than scatter-add). Emission positions are unique
-    # per block, so the packed keys sort stably into stream order.
-    mask_f = mask.transpose(1, 2, 0, 3).reshape(B, NB, BLOCK_SIZE)
-    words_f = words.transpose(1, 2, 0, 3).reshape(B, NB, BLOCK_SIZE)
-
-    inc = jnp.cumsum(mask_f.astype(I32), axis=2)
-    num_words = inc[:, :, -1]
-    wpos = inc - 1  # exclusive position where mask
-
-    key = jnp.where(
-        mask_f,
-        (wpos << 16) | words_f.astype(I32),
-        jnp.int32(0x7FFFFFFF),
-    )
-    skey = jax.lax.sort(key, dimension=2)
-    w16 = (skey[:, :, : 2 * MAX_BLOCK_WORDS32] & 0xFFFF).astype(U32)
-    slot = jnp.arange(2 * MAX_BLOCK_WORDS32, dtype=I32)[None, None, :]
-    w16 = jnp.where(slot < num_words[:, :, None], w16, u32(0))
-    v = w16.reshape(B, NB, MAX_BLOCK_WORDS32, 2)
-    streams32 = v[..., 0] | (v[..., 1] << u32(16))
-    # keep the extra dump column for layout compatibility with callers
-    streams32 = jnp.pad(streams32, ((0, 0), (0, 0), (0, 1)))
-
-    return states, streams32, num_words
+    return states, words, mask

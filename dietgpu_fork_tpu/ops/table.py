@@ -108,15 +108,17 @@ def normalize_probs_batched(
 
 
 def pack_encode_table(pdf, cdf, shift):
-    """Pack (pdf[11b] | cdf[12b]<<11 | shift[5b]<<23) into one uint32 so the
+    """Pack (pdf[12b] | cdf[11b]<<12 | shift[6b]<<23) into one uint32 so the
     per-symbol encode gather is a single lookup (magic is gathered
-    separately)."""
-    return pdf | (cdf << u32(11)) | (shift << u32(23))
+    separately). pdf needs 12 bits: the degenerate single-symbol table has
+    pdf = 2^prob_bits = 2048 at prob_bits 11 (cdf is exclusive, so it is
+    always <= 2^prob_bits - 1 and fits 11 bits)."""
+    return pdf | (cdf << u32(12)) | (shift << u32(23))
 
 
 def unpack_encode_table(t):
-    pdf = t & u32(0x7FF)
-    cdf = (t >> u32(11)) & u32(0xFFF)
+    pdf = t & u32(0xFFF)
+    cdf = (t >> u32(12)) & u32(0x7FF)
     shift = t >> u32(23)
     return pdf, cdf, shift
 
