@@ -59,26 +59,34 @@ I32 = jnp.int32
 
 _jit_float_compress = jax.jit(
     float_compress_padded,
-    static_argnames=("float_type", "prob_bits", "use_checksum", "out_bytes"),
+    static_argnames=(
+        "float_type", "prob_bits", "use_checksum", "out_bytes", "native",
+    ),
 )
 _jit_sparse_compress = jax.jit(
     sparse_float_compress_padded,
-    static_argnames=("float_type", "prob_bits", "use_checksum", "out_bytes"),
+    static_argnames=(
+        "float_type", "prob_bits", "use_checksum", "out_bytes", "native",
+    ),
 )
 _jit_ans_encode = jax.jit(
     ans_encode_padded,
-    static_argnames=("prob_bits", "use_checksum", "out_bytes"),
+    static_argnames=("prob_bits", "use_checksum", "out_bytes", "native"),
 )
 _jit_ans_decode = jax.jit(
-    ans_decode_padded, static_argnames=("out_capacity", "prob_bits")
+    ans_decode_padded, static_argnames=("out_capacity", "prob_bits", "native")
 )
 _jit_float_decompress = jax.jit(
     float_decompress_core,
-    static_argnames=("out_floats", "float_type", "prob_bits", "verify_checksum"),
+    static_argnames=(
+        "out_floats", "float_type", "prob_bits", "verify_checksum", "native",
+    ),
 )
 _jit_sparse_decompress = jax.jit(
     sparse_float_decompress_core,
-    static_argnames=("out_floats", "float_type", "prob_bits", "verify_checksum"),
+    static_argnames=(
+        "out_floats", "float_type", "prob_bits", "verify_checksum", "native",
+    ),
 )
 
 _DTYPE_TO_FT = {
@@ -94,6 +102,79 @@ _FT_TO_UINT = {
     FloatType.FLOAT32: np.uint32,
     FloatType.FLOAT64: np.uint64,
 }
+
+
+def _default_native() -> bool:
+    """Compression default for the archive layout: ROW-STREAM native
+    (0xDB0D) on TPU — measurably faster glue, self-describing, decodable by
+    this library and the NumPy oracle everywhere — and the reference's
+    classic layout (0xD00D) elsewhere, preserving bit-parity with the CUDA
+    reference by default on portable backends. Override per call with
+    ``native=``, or globally with DIETTPU_NATIVE=0/1."""
+    import os
+
+    env = os.environ.get("DIETTPU_NATIVE")
+    if env is not None:
+        return env == "1"
+    from ..core.config import use_pallas
+
+    return use_pallas()
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _magic_gather_fn(compress_as_float: bool, sparse: bool, float_type):
+    @jax.jit
+    def gather_magic(m32):
+        B, CW = m32.shape
+        if not compress_as_float:
+            return m32[:, 0]
+        from ..models.float_codec import _section_word_counts
+
+        base = jnp.zeros((B,), I32)
+        if sparse:
+            from ..models.sparse import _bitmap_words
+
+            total = jnp.clip(m32[:, 0].astype(I32), 0, None)
+            base = 4 + _bitmap_words(total)
+        nf = jnp.take_along_axis(
+            m32, jnp.clip(base[:, None] + 1, 0, CW - 1), axis=1
+        )[:, 0].astype(I32)
+        s1w, s2w = _section_word_counts(jnp.clip(nf, 0, None), float_type)
+        off = base + 8 + s1w + s2w
+        return jnp.take_along_axis(
+            m32, jnp.clip(off[:, None], 0, CW - 1), axis=1
+        )[:, 0]
+
+    return gather_magic
+
+
+def detect_native_layout(
+    compress_as_float: bool,
+    m: jax.Array,
+    sparse: bool = False,
+    float_type: Optional[FloatType] = None,
+) -> bool:
+    """Read the (embedded) ANS archive magic of each batch member and decide
+    the layout: True = ROW-STREAM native (0xDB0D), False = classic (0xD00D).
+    Archives are self-describing (magic+version header word), so decompress
+    entry points call this when the caller does not pin ``native=``; the
+    read is one tiny D2H of B words. Raises on a batch that mixes layouts
+    (one staging shape per call). Unrecognized magics (garbage rows) count
+    as classic — decode folds them into per-member failure."""
+    m32 = bitcast_u8_to_u32(m) if m.dtype == jnp.uint8 else m
+    fn = _magic_gather_fn(bool(compress_as_float), bool(sparse), float_type)
+    magic = np.asarray(fn(m32)) >> 16
+    is_nat = magic == 0xDB0D
+    is_cls = magic == 0xD00D
+    if is_nat.any() and is_cls.any():
+        raise ValueError(
+            "batch mixes classic (0xD00D) and native (0xDB0D) ANS layouts; "
+            "decompress them in separate calls or pass native= explicitly"
+        )
+    return bool(is_nat.any())
 
 
 def float_type_of(x) -> FloatType:
@@ -205,12 +286,18 @@ def compress_data(
     prob_bits: int = DEFAULT_PROB_BITS,
     sparse: bool = False,
     histogram=None,
+    native: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array, int]:
     """Batch compress. Returns (comp uint8[B, maxCompSize], sizes int[B],
     temp_mem_estimate). Output rows are zero-padded past the reported size.
 
     histogram: optional uint32[B, 256] caller-supplied byte histograms for
-    the raw-ANS path — skips the statistics pass (GpuANSCodec.h:82-84)."""
+    the raw-ANS path — skips the statistics pass (GpuANSCodec.h:82-84).
+
+    native: archive layout — None (default) picks ROW-STREAM native on TPU
+    and classic elsewhere (_default_native); decompress auto-detects."""
+    if native is None:
+        native = _default_native()
     if not len(ts):
         raise ValueError("empty batch")
     if histogram is not None and compress_as_float:
@@ -227,7 +314,7 @@ def compress_data(
         fn = _jit_sparse_compress if sparse else _jit_float_compress
         comp, comp_bytes = fn(
             data32, sizes, float_type=ft, prob_bits=prob_bits,
-            use_checksum=checksum,
+            use_checksum=checksum, native=native,
         )
         temp = sm.float_compress_temp_size(len(ts), max_elems, ft)
     else:
@@ -240,6 +327,7 @@ def compress_data(
             jnp.asarray(buf), jnp.asarray(sizes), prob_bits=prob_bits,
             use_checksum=checksum,
             hist=None if histogram is None else jnp.asarray(histogram),
+            native=native,
         )
         temp = sm.ans_encode_temp_size(len(ts), max(max_bytes, 1))
     return comp, comp_bytes, temp
@@ -251,10 +339,13 @@ def compress_data_split_size(
     split_sizes: Sequence[int],
     checksum: bool = False,
     prob_bits: int = DEFAULT_PROB_BITS,
+    native: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array, int]:
     """One contiguous input + host split sizes (element counts). Stays on
     device. Interior raw-ANS splits must be 4-byte aligned
     (kANSRequiredAlignment, DietGpu.cpp:376-384)."""
+    if native is None:
+        native = _default_native()
     split_sizes = [int(s) for s in split_sizes]
     if any(s <= 0 for s in split_sizes):
         raise ValueError("split sizes must be positive")
@@ -285,7 +376,7 @@ def compress_data_split_size(
                 data32 = rows
         comp, comp_bytes = _jit_float_compress(
             data32, sizes, float_type=ft, prob_bits=prob_bits,
-            use_checksum=checksum,
+            use_checksum=checksum, native=native,
         )
         temp = sm.float_compress_temp_size(len(split_sizes), max(split_sizes), ft)
     else:
@@ -303,7 +394,8 @@ def compress_data_split_size(
         if pad:
             rows = jnp.pad(rows, ((0, 0), (0, pad)))
         comp, comp_bytes = _jit_ans_encode(
-            rows, sizes, prob_bits=prob_bits, use_checksum=checksum
+            rows, sizes, prob_bits=prob_bits, use_checksum=checksum,
+            native=native,
         )
         temp = sm.ans_encode_temp_size(len(split_sizes), max(byte_sizes))
     return comp, comp_bytes, temp
@@ -315,11 +407,12 @@ def compress_data_simple(
     checksum: bool = False,
     prob_bits: int = DEFAULT_PROB_BITS,
     sparse: bool = False,
+    native: Optional[bool] = None,
 ) -> List[np.ndarray]:
     """Synchronous convenience: returns exact-size archives
     (DietGpu.cpp:474-528)."""
     comp, comp_bytes, _ = compress_data(
-        compress_as_float, ts, checksum, prob_bits, sparse
+        compress_as_float, ts, checksum, prob_bits, sparse, native=native
     )
     comp = np.asarray(comp)
     comp_bytes = np.asarray(comp_bytes)
@@ -368,12 +461,16 @@ def decompress_data(
     checksum: bool = False,
     prob_bits: int = DEFAULT_PROB_BITS,
     sparse: bool = False,
+    native: Optional[bool] = None,
 ):
     """Batch decompress into capacity-bounded outputs.
 
     Returns (list of arrays sliced to the decoded size, sizes int[B],
     success bool[B], status, temp_mem_estimate). Raises on checksum mismatch
     when checksum=True, like the torch binding (DietGpu.cpp:623-626).
+
+    native: archive layout; None (default) auto-detects from the archive's
+    self-describing ANS magic (detect_native_layout).
     """
     m = _comp_matrix(comps)
     B = m.shape[0]
@@ -384,16 +481,19 @@ def decompress_data(
         ft = float_type_of(dtype) if dtype is not None else FloatType(
             int(np.asarray(float_get_compressed_info(m)[1])[0])
         )
+        if native is None:
+            native = detect_native_layout(True, m, sparse, ft)
         if sparse:
             words32, success, sizes, ca, cg = _jit_sparse_decompress(
                 bitcast_u8_to_u32(m), out_floats=max(cap, 1), float_type=ft,
                 prob_bits=prob_bits, capacities=jnp.asarray(caps),
-                verify_checksum=checksum)
+                verify_checksum=checksum, native=native)
         else:
             words32, success, sizes, ca, cg = _jit_float_decompress(
                 bitcast_u8_to_u32(m), jnp.zeros((B,), I32),
                 out_floats=max(cap, 1), float_type=ft, prob_bits=prob_bits,
-                capacities=jnp.asarray(caps), verify_checksum=checksum)
+                capacities=jnp.asarray(caps), verify_checksum=checksum,
+                native=native)
         out_np = np.asarray(words32).view(np.uint8)
         sizes_np = np.asarray(sizes)
         dt = dtype_of(ft)
@@ -407,9 +507,11 @@ def decompress_data(
         )
         temp = sm.float_decompress_temp_size(B, cap, ft, prob_bits)
     else:
+        if native is None:
+            native = detect_native_layout(False, m)
         out, success, sizes, arch_csum = _jit_ans_decode(
             m, out_capacity=max(cap, 1), prob_bits=prob_bits,
-            capacities=jnp.asarray(caps))
+            capacities=jnp.asarray(caps), native=native)
         out_np = np.asarray(out)
         sizes_np = np.asarray(sizes)
         outs = [
@@ -436,6 +538,7 @@ def decompress_data_device(
     dtype=None,
     prob_bits: int = DEFAULT_PROB_BITS,
     sparse: bool = False,
+    native: Optional[bool] = None,
 ):
     """Fully-on-device decompress: returns padded DEVICE rows + per-member
     sizes with no host round trip, preserving the reference's zero-sync
@@ -454,20 +557,25 @@ def decompress_data_device(
         ft = float_type_of(dtype) if dtype is not None else FloatType(
             int(np.asarray(float_get_compressed_info(m)[1])[0])
         )
+        if native is None:
+            native = detect_native_layout(True, m, sparse, ft)
         if sparse:
             words32, success, sizes, _, _ = _jit_sparse_decompress(
                 bitcast_u8_to_u32(m), out_floats=max(out_capacity, 1),
                 float_type=ft, prob_bits=prob_bits, capacities=None,
-                verify_checksum=False)
+                verify_checksum=False, native=native)
         else:
             words32, success, sizes, _, _ = _jit_float_decompress(
                 bitcast_u8_to_u32(m), jnp.zeros((B,), I32),
                 out_floats=max(out_capacity, 1), float_type=ft,
-                prob_bits=prob_bits, capacities=None, verify_checksum=False)
+                prob_bits=prob_bits, capacities=None, verify_checksum=False,
+                native=native)
         return words32, sizes, success
+    if native is None:
+        native = detect_native_layout(False, m)
     out, success, sizes, _ = _jit_ans_decode(
         m, out_capacity=max(out_capacity, 1), prob_bits=prob_bits,
-        capacities=None)
+        capacities=None, native=native)
     return out, sizes, success
 
 

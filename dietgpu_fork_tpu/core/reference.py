@@ -733,9 +733,14 @@ def float_compress(
     float_type: FloatType,
     prob_bits: int = 10,
     use_checksum: bool = False,
+    native: bool = False,
 ) -> np.ndarray:
     """Compress an array of float words (as unsigned ints of the right width)
-    into a float archive. Returns uint8 bytes of the reported size."""
+    into a float archive. Returns uint8 bytes of the reported size.
+
+    native=True embeds ROW-STREAM (0xDB0D) ANS segments; the float header
+    itself is unchanged and float_decompress auto-dispatches per segment via
+    the ANS magic."""
     ft = FloatType(float_type)
     words = np.ascontiguousarray(words).view(_FT_DTYPE[ft]).ravel()
     n = words.size
@@ -744,7 +749,8 @@ def float_compress(
     comp_planes, noncomp = float_split(words, ft)
 
     # ANS-compress each exponent plane (fp64 has two; each its own archive).
-    segs = [ans_encode(p, prob_bits=prob_bits, use_checksum=False) for p in comp_planes]
+    enc = ans_encode_native if native else ans_encode
+    segs = [enc(p, prob_bits=prob_bits, use_checksum=False) for p in comp_planes]
 
     header = FloatHeader(
         size=n,
@@ -863,6 +869,7 @@ def sparse_float_compress(
     float_type: FloatType,
     prob_bits: int = 10,
     use_checksum: bool = False,
+    native: bool = False,
 ) -> np.ndarray:
     ft = FloatType(float_type)
     words = np.ascontiguousarray(words).view(_FT_DTYPE[ft]).ravel()
@@ -870,7 +877,7 @@ def sparse_float_compress(
     nonzero = words != 0
     nz_words = words[nonzero]
 
-    dense = float_compress(nz_words, ft, prob_bits, use_checksum)
+    dense = float_compress(nz_words, ft, prob_bits, use_checksum, native)
 
     bitmap_sz = sparse_bitmap_bytes(n)
     out = np.zeros(SPARSE_HEADER_BYTES + bitmap_sz + dense.size, dtype=np.uint8)

@@ -387,6 +387,29 @@ def _ans_parse_and_stage(
     comp_w = jnp.where(live, (bx & u32(0xFFFF)).astype(I32), 0)
     starts = jnp.where(live, by.astype(I32), 0)
 
+    # Validate archive-supplied blockWords against their format maxima
+    # before they feed staging offsets: comp_w is bounded by the worst-case
+    # block stream (2*MAX_BLOCK_WORDS32 u16 words), uncomp_w by the block
+    # size, and every block's stream extent must lie inside the
+    # header-declared total (already bounds-checked against the buffer).
+    # A corrupt count would otherwise push the staging runs out of their
+    # per-segment windows and violate runs_merge's non-overlapping-
+    # destination precondition; fold it into per-member success instead.
+    blk_ok = (
+        ~live
+        | (
+            (comp_w <= 2 * MAX_BLOCK_WORDS32)
+            & (uncomp_w <= BLOCK_SIZE)
+            & (starts >= 0)
+            & (starts + comp_w <= total_w[:, None])
+        )
+    )
+    success = success & jnp.all(blk_ok, axis=1)
+    live = live & success[:, None]
+    uncomp_w = jnp.where(live, uncomp_w, 0)
+    comp_w = jnp.where(live, comp_w, 0)
+    starts = jnp.where(live, starts, 0)
+
     # stream staging. Classic: each block's compressed words into dense
     # (B, NB, SW) rows (uint16 word k of a block lives at staged word k>>1,
     # half k&1). Native row-stream: ONE segment per row of 4 blocks —
@@ -407,6 +430,16 @@ def _ans_parse_and_stage(
         seg_words, seg_starts = comp_w, starts
         NSEG, MAXW = NB, MAX_BLOCK_WORDS32
         seg_idx = blk
+    # Per-SEGMENT extent check: a native row aggregates 4 blocks' counts,
+    # so the per-block bound above does not imply the row stream stays
+    # inside the declared total. (Redundant for classic; cheap.)
+    seg_ok = jnp.all(seg_starts + seg_words <= total_w[:, None], axis=1)
+    success = success & seg_ok
+    dead = ~success[:, None]
+    seg_words = jnp.where(dead, 0, seg_words)
+    seg_starts = jnp.where(dead, 0, seg_starts)
+    comp_w = jnp.where(dead, 0, comp_w)
+    uncomp_w = jnp.where(dead, 0, uncomp_w)
     r_flat = (b_ar[:, None] * NSEG + seg_idx).reshape(-1)
     src2 = ((abs_base + data_off)[:, None] + (seg_starts >> 1)).reshape(-1)
     len2 = ((seg_words + 1) >> 1).reshape(-1)

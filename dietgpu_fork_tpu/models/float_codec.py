@@ -79,11 +79,15 @@ def float_compress_core(
     float_type: FloatType,
     prob_bits: int = 10,
     use_checksum: bool = False,
+    native: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Compress uint32-packed float rows.
 
     data32: uint32[B, W32] packed float words; n: int32[B] float counts.
     Returns (out32 uint32[B, CWf], comp_bytes uint32[B]).
+
+    native=True embeds ROW-STREAM (0xDB0D) ANS segments — the float header
+    is unchanged and decoders dispatch on the embedded ANS magic.
     """
     ft = FloatType(float_type)
     B, W32 = data32.shape
@@ -116,7 +120,7 @@ def float_compress_core(
     for plane, hist in zip(comp_planes, hists):
         parts = ans_encode_sections(
             plane, n, prob_bits, use_checksum=False, s_bytes=S_cap,
-            hist=hist,
+            hist=hist, native=native,
         )
         seg_parts.append(parts)
         seg_bytes.append(parts[4].astype(I32))
@@ -248,12 +252,17 @@ def float_decompress_core(
     prob_bits: int = 10,
     capacities: Optional[jax.Array] = None,
     verify_checksum: bool = False,
+    native: bool = False,
 ):
     """Decompress float archives at per-member uint32 offsets base32.
 
     Returns (words32 uint32[B, W32cap], success bool[B], n uint32[B],
     archive_checksum uint32[B], computed_checksum uint32[B] — zeros unless
     verify_checksum, which costs an extra pass over the output).
+
+    native selects the embedded ANS segment layout (static — staging shapes
+    differ); the API layer auto-detects it from the archive's ANS magic
+    (api.codec.detect_native_layout).
     """
     ft = FloatType(float_type)
     B, CW = comp32.shape
@@ -310,7 +319,7 @@ def float_decompress_core(
         ).reshape(B, NB, 1024)
         words32, ok, psize, _ = ans_decode_join16_core(
             comp32, ans_base0, raw32, out_floats, prob_bits,
-            ft == FloatType.BFLOAT16, capacities,
+            ft == FloatType.BFLOAT16, capacities, native=native,
         )
         success = success & ok & (psize.astype(I32) == n)
         words32 = mask_packed_bytes(
@@ -362,7 +371,7 @@ def float_decompress_core(
         sec2b = stage[B * L1 :].reshape(B, NB, 1024)
         words32, ok, psize, _ = ans_decode_join32_core(
             comp32, ans_base0, sec1b, sec2b, out_floats, prob_bits,
-            capacities,
+            capacities, native=native,
         )
         success = success & ok & (psize.astype(I32) == n)
         words32 = mask_packed_bytes(
@@ -379,7 +388,7 @@ def float_decompress_core(
     for seg in range(nseg):
         base = ans_base0 if seg == 0 else ans_base0 + (first_seg >> 2)
         plane, ok, psize, _ = ans_decode_core(
-            comp32, base, out_floats, prob_bits, capacities
+            comp32, base, out_floats, prob_bits, capacities, native=native
         )
         planes.append(plane)
         success = success & ok & (psize.astype(I32) == n)
@@ -429,12 +438,13 @@ def float_compress_padded(
     prob_bits: int = 10,
     use_checksum: bool = False,
     out_bytes: Optional[int] = None,
+    native: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """uint8-row wrapper with the reference's getMaxFloatCompressedSize
     output-buffer contract."""
     ft = FloatType(float_type)
     out32, comp_bytes = float_compress_core(
-        data32, n, ft, prob_bits, use_checksum
+        data32, n, ft, prob_bits, use_checksum, native=native
     )
     comp = bitcast_u32_to_u8(out32)
     cb = (

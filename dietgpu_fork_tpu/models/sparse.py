@@ -198,6 +198,7 @@ def sparse_float_compress_core(
     float_type: FloatType,
     prob_bits: int = 10,
     use_checksum: bool = False,
+    native: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Compress sparse float rows. Returns (out32, comp_bytes)."""
     ft = FloatType(float_type)
@@ -238,7 +239,7 @@ def sparse_float_compress_core(
         packed, nnz = _compact_nonzeros(data32, nz, ft, S_cap)
 
     dense32, dense_bytes = float_compress_core(
-        packed, nnz, ft, prob_bits, use_checksum
+        packed, nnz, ft, prob_bits, use_checksum, native=native
     )
 
     hdr = jnp.stack(
@@ -281,6 +282,7 @@ def sparse_float_decompress_core(
     prob_bits: int = 10,
     capacities: Optional[jax.Array] = None,
     verify_checksum: bool = False,
+    native: bool = False,
 ):
     """Decompress sparse float archives.
 
@@ -316,7 +318,7 @@ def sparse_float_decompress_core(
     dense_base = 4 + bmw
     nz32, dsuccess, nnz, csum_arch, csum_got = float_decompress_core(
         comp32, dense_base, out_floats, ft, prob_bits, capacities,
-        verify_checksum,
+        verify_checksum, native=native,
     )
     success = success & dsuccess
 
@@ -364,12 +366,13 @@ def sparse_float_decompress_core(
 
 
 def sparse_float_compress_padded(
-    data32, n, float_type, prob_bits=10, use_checksum=False, out_bytes=None
+    data32, n, float_type, prob_bits=10, use_checksum=False, out_bytes=None,
+    native=False,
 ):
     """uint8-row wrapper with the getMaxSparseFloatCompressedSize contract."""
     ft = FloatType(float_type)
     out32, comp_bytes = sparse_float_compress_core(
-        data32, n, ft, prob_bits, use_checksum
+        data32, n, ft, prob_bits, use_checksum, native=native
     )
     comp = bitcast_u32_to_u8(out32)
     cb = (

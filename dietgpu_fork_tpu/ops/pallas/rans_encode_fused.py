@@ -186,11 +186,12 @@ def _encode_kernel(
             hi_sym, jnp.take_along_axis(mag_bc[1], t_lane, axis=1), mg
         )
 
-        # unpack_encode_table layout: pdf | cdf<<12 | shift<<23
+        # unpack_encode_table layout: pdf | cdf<<12 | shift<<23; shift is
+        # 0..11 by construction (pdf==0 rows pack shift 0 and are never
+        # taken by valid lanes) — the clamp is purely defensive
         pdf = ent & U32(0xFFF)
         cdf = (ent >> U32(12)) & U32(0x7FF)
         shift = ent >> U32(23)
-        # pdf==0 rows carry shift 32+; clamp (unsigned min doesn't lower)
         shift = jnp.where(shift > U32(31), U32(31), shift)
 
         write = v & (states >= (pdf << U32(state_check_shift)))

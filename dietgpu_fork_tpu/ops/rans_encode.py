@@ -217,7 +217,9 @@ def _walk_cpu(
     def step(states, xs):
         t, m, v = xs
         pdf, cdf, shift = unpack_encode_table(t)
-        shift = jnp.minimum(shift, u32(31))  # pdf==0 rows are masked out
+        # shift is 0..11 by construction (pdf==0 rows pack shift 0 and are
+        # never taken by valid lanes); defensive clamp only
+        shift = jnp.minimum(shift, u32(31))
 
         write = v & (states >= (pdf << u32(state_check_shift)))
         word = (states & u32(0xFFFF)).astype(jnp.uint16)

@@ -108,11 +108,13 @@ def normalize_probs_batched(
 
 
 def pack_encode_table(pdf, cdf, shift):
-    """Pack (pdf[12b] | cdf[11b]<<12 | shift[6b]<<23) into one uint32 so the
+    """Pack (pdf[12b] | cdf[11b]<<12 | shift<<23) into one uint32 so the
     per-symbol encode gather is a single lookup (magic is gathered
     separately). pdf needs 12 bits: the degenerate single-symbol table has
     pdf = 2^prob_bits = 2048 at prob_bits 11 (cdf is exclusive, so it is
-    always <= 2^prob_bits - 1 and fits 11 bits)."""
+    always <= 2^prob_bits - 1 and fits 11 bits). shift occupies the top 9
+    bits but normalize_probs_batched only ever produces 0..11 (pdf == 0
+    rows pack shift 0), so unpack's `t >> 23` needs no mask."""
     return pdf | (cdf << u32(12)) | (shift << u32(23))
 
 

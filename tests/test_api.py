@@ -48,9 +48,44 @@ def test_raw_ans_roundtrip(rng):
 
 def test_compressed_archives_match_oracle(rng):
     ts = [normal(rng, 3000, "float32")]
-    arcs = C.compress_data_simple(True, ts, checksum=False)
+    arcs = C.compress_data_simple(True, ts, checksum=False, native=False)
     expect = R.float_compress(ts[0].view(np.uint32), FloatType.FLOAT32)
     assert np.array_equal(arcs[0], expect)
+
+
+def test_native_archives_match_oracle_and_autodetect(rng):
+    """Float archives with embedded ROW-STREAM (0xDB0D) ANS segments:
+    byte-exact vs the oracle, and decompress auto-detects the layout from
+    the embedded ANS magic (no native= hint)."""
+    ts = [normal(rng, 3000, "float32"), normal(rng, 17000, "float32")]
+    arcs = C.compress_data_simple(True, ts, checksum=True, native=True)
+    for t, a in zip(ts, arcs):
+        expect = R.float_compress(
+            t.view(np.uint32), FloatType.FLOAT32, use_checksum=True,
+            native=True,
+        )
+        assert np.array_equal(a, expect)
+    outs, _, success, status, _ = C.decompress_data(
+        True, arcs, [t.size for t in ts], dtype=np.float32, checksum=True
+    )
+    assert status.ok and np.all(success)
+    for t, o in zip(ts, outs):
+        assert np.array_equal(o, t)
+    # raw-ANS auto-detect, and the layout mix guard
+    bs = [t.view(np.uint8) for t in ts]
+    comp_n, _, _ = C.compress_data(False, bs, native=True)
+    outs, _, success, _, _ = C.decompress_data(
+        False, comp_n, [b.size for b in bs]
+    )
+    assert np.all(success)
+    for b, o in zip(bs, outs):
+        assert np.array_equal(o, b)
+    comp_c, _, _ = C.compress_data(False, bs, native=False)
+    mixed = np.vstack(
+        [np.asarray(comp_n)[:1], np.asarray(comp_c)[1:]]
+    )
+    with pytest.raises(ValueError, match="mixes"):
+        C.decompress_data(False, mixed, [b.size for b in bs])
 
 
 def test_simple_roundtrip_and_shrinkage(rng):
