@@ -352,19 +352,22 @@ def compress_data_split_size(
     if compress_as_float:
         ft = float_type_of(t)
         ws = FLOAT_WORD_SIZE[ft]
-        flat = jnp.asarray(t).reshape(-1)
         if ft == FloatType.FLOAT64:
-            # pack as (lo, hi) uint32 pairs
-            v = jnp.asarray(np.asarray(flat).view(np.uint64))
-            rows, sizes = pack_split_rows(v, split_sizes)
-            B, S = rows.shape
-            lo = (rows & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-            hi = (rows >> jnp.uint64(32)).astype(jnp.uint32)
-            data32 = jnp.stack([lo, hi], axis=2).reshape(B, -1)
+            # split at uint32-PAIR granularity: each float64 is a
+            # little-endian (lo, hi) uint32 pair, which is exactly the
+            # codec's packed row layout — and jnp.asarray on a uint64
+            # host array would silently truncate under x64-disabled JAX
+            v32 = jnp.asarray(
+                np.ascontiguousarray(np.asarray(t)).reshape(-1).view(
+                    np.uint32
+                )
+            )
+            data32, _ = pack_split_rows(v32, [2 * s for s in split_sizes])
+            sizes = jnp.asarray(split_sizes, I32)
         else:
             u = _FT_TO_UINT[ft]
-            v = jnp.asarray(np.asarray(flat).view(u))
-            rows, sizes = pack_split_rows(v, split_sizes)
+            v = jnp.asarray(np.ascontiguousarray(np.asarray(t)).view(u))
+            rows, sizes = pack_split_rows(v.reshape(-1), split_sizes)
             if ws == 2:
                 B, S = rows.shape
                 pad = (-S) % 2
@@ -579,6 +582,76 @@ def decompress_data_device(
     return out, sizes, success
 
 
+@_functools.lru_cache(maxsize=256)
+def _ragged_concat_fn(byte_lens: tuple, Wcap: int):
+    """Device ragged concatenation of per-member byte streams.
+
+    Input: uint32-packed rows (B, Wcap), member i's bytes at the row start,
+    zero beyond. Output: one contiguous uint32[ceil(total/4)] device array
+    holding the byte concatenation. Byte lengths are host metadata (the
+    split-size convention), so the run list is precomputed here and the
+    data path is ONE runs_merge — no host round trip, the device analogue
+    of DietGpu.cpp:685-825 writing a single device tensor.
+
+    All destination byte offsets are even (float words are >= 2 B; raw-ANS
+    interior splits are 4 B aligned), so every word of the output is either
+    (a) interior to one member — a word-aligned run from the member's row
+    (offset % 4 == 0) or from a 16-bit-shifted copy of it (offset % 4 == 2),
+    or (b) a SEAM word straddling two members, assembled as a 1-word run
+    from a tiny gathered blob."""
+    lens = np.asarray(byte_lens, np.int64)
+    B = lens.size
+    offs = np.zeros(B + 1, np.int64)
+    offs[1:] = np.cumsum(lens)
+    total = int(offs[-1])
+    OW = max(-(-total // 4), 1)
+    a = offs[:-1] % 4  # 0 or 2 by the alignment argument above
+    w_start = -(-offs[:-1] // 4)
+    w_end = offs[1:] // 4
+    w_end[-1] = OW  # the tail partial word reads the row's zero padding
+    body_len = np.maximum(w_end - w_start, 0)
+    rows_b = np.arange(B, dtype=np.int64) * Wcap
+    src_body = np.where(a == 0, rows_b, B * Wcap + rows_b)
+    seam_i = np.nonzero(a == 2)[0]  # member starts mid-word (never i = 0)
+    seam_dst = offs[seam_i] // 4
+    nseam = int(seam_i.size)
+    seam_base = 2 * B * Wcap
+    dst = np.concatenate([w_start, seam_dst])
+    src = np.concatenate([src_body, seam_base + np.arange(nseam)])
+    ln = np.concatenate([body_len, np.ones(nseam, np.int64)])
+    order = np.argsort(dst, kind="stable")
+    dst_d = jnp.asarray(dst[order], I32)
+    src_d = jnp.asarray(src[order], I32)
+    ln_d = jnp.asarray(ln[order], I32)
+    # seam value = last uint16 of member i-1 | first uint16 of member i
+    prev_last_u16 = (seam_i - 1) * (2 * Wcap) + (lens[seam_i - 1] // 2 - 1)
+    lw_idx = jnp.asarray(prev_last_u16 >> 1, I32)
+    lw_half = jnp.asarray(prev_last_u16 & 1, I32)
+    fw_idx = jnp.asarray(seam_i * Wcap, I32)
+
+    @jax.jit
+    def concat(rows32):
+        from ..ops.pallas.merge import runs_merge
+
+        flat = rows32.reshape(-1)
+        shifted = (rows32 >> jnp.uint32(16)) | (
+            jnp.pad(rows32[:, 1:], ((0, 0), (0, 1))) << jnp.uint32(16)
+        )
+        parts = [flat, shifted.reshape(-1)]
+        if nseam:
+            lw = jnp.take(flat, lw_idx)
+            lo = jnp.where(
+                lw_half == 1, lw >> jnp.uint32(16), lw & jnp.uint32(0xFFFF)
+            )
+            hi = jnp.take(flat, fw_idx) & jnp.uint32(0xFFFF)
+            parts.append(lo | (hi << jnp.uint32(16)))
+        return runs_merge(
+            jnp.concatenate(parts), dst_d, src_d, ln_d, OW
+        )
+
+    return concat
+
+
 def decompress_data_split_size(
     compress_as_float: bool,
     comps: Union[Sequence, jax.Array],
@@ -586,18 +659,100 @@ def decompress_data_split_size(
     dtype=None,
     checksum: bool = False,
     prob_bits: int = DEFAULT_PROB_BITS,
+    native: Optional[bool] = None,
 ):
-    """Decompress into one contiguous array with per-member split sizes
-    (element counts). Decoded sizes must match exactly (DietGpu.cpp:685-825)."""
-    outs, sizes, success, status, temp = decompress_data(
-        compress_as_float, comps, out_split_sizes, dtype, checksum, prob_bits
-    )
-    for i, (o, s) in enumerate(zip(outs, out_split_sizes)):
-        if o.size != s:
-            raise RuntimeError(
-                f"member {i}: decoded size {int(sizes[i])} != expected {s}"
+    """Decompress into ONE contiguous DEVICE array with per-member split
+    sizes (element counts). Decoded sizes must match exactly; parity with
+    DietGpu.cpp:685-825, which writes a single device tensor — the data
+    path here is jit decode + one device runs-merge, no host round trip
+    (sizes/success/checksums are D2H'd as metadata only)."""
+    m = _comp_matrix(comps)
+    B = m.shape[0]
+    split = [int(s) for s in out_split_sizes]
+    if len(split) != B:
+        raise ValueError("split count != batch size")
+    if any(s <= 0 for s in split):
+        raise ValueError("split sizes must be positive")
+    cap = max(split)
+
+    if compress_as_float:
+        ft = float_type_of(dtype) if dtype is not None else FloatType(
+            int(np.asarray(float_get_compressed_info(m)[1])[0])
+        )
+        if native is None:
+            native = detect_native_layout(True, m, False, ft)
+        words32, success, sizes, ca, cg = _jit_float_decompress(
+            bitcast_u8_to_u32(m), jnp.zeros((B,), I32),
+            out_floats=max(cap, 1), float_type=ft, prob_bits=prob_bits,
+            capacities=jnp.asarray(split, I32), verify_checksum=checksum,
+        )
+        ws = FLOAT_WORD_SIZE[ft]
+        byte_lens = tuple(s * ws for s in split)
+        flat32 = _ragged_concat_fn(byte_lens, words32.shape[1])(words32)
+        n_elems = sum(split)
+        if ws == 2:
+            out = jax.lax.bitcast_convert_type(flat32, jnp.uint16)
+            out = out.reshape(-1)[:n_elems]
+            out = jax.lax.bitcast_convert_type(
+                out,
+                jnp.bfloat16 if ft == FloatType.BFLOAT16 else jnp.float16,
             )
-    return np.concatenate(outs), sizes, success, status, temp
+        elif ws == 4:
+            out = jax.lax.bitcast_convert_type(flat32, jnp.float32)
+        else:
+            # float64 exists as a JAX dtype only under x64; otherwise
+            # return the raw uint32 (lo, hi) pairs — same device bytes,
+            # viewable as float64 on the host
+            out = (
+                jax.lax.bitcast_convert_type(
+                    flat32.reshape(-1, 2), jnp.float64
+                )
+                if jax.config.jax_enable_x64
+                else flat32
+            )
+        status = (
+            _checksum_status(success, ca, cg) if checksum else DecompressStatus()
+        )
+        temp = sm.float_decompress_temp_size(B, cap, ft, prob_bits)
+    else:
+        for s in split[:-1]:
+            if s % 4 != 0:
+                raise ValueError(
+                    "interior raw-ANS splits must be 4-byte aligned"
+                )
+        if native is None:
+            native = detect_native_layout(False, m)
+        rows, success, sizes, arch_csum = _jit_ans_decode(
+            m, out_capacity=max(cap, 1), prob_bits=prob_bits,
+            capacities=jnp.asarray(split, I32), native=native,
+        )
+        byte_lens = tuple(split)
+        rows32 = bitcast_u8_to_u32(rows)
+        flat32 = _ragged_concat_fn(byte_lens, rows32.shape[1])(rows32)
+        total = sum(split)
+        out = jax.lax.bitcast_convert_type(flat32, jnp.uint8).reshape(-1)[
+            :total
+        ]
+        if checksum:
+            from ..ops.checksum import checksum_batched
+
+            got = checksum_batched(rows, sizes.astype(I32))
+            status = _checksum_status(success, arch_csum, got)
+        else:
+            status = DecompressStatus()
+        temp = sm.ans_decode_temp_size(B, prob_bits)
+
+    sizes_np = np.asarray(sizes)
+    for i, s in enumerate(split):
+        if int(sizes_np[i]) != s or not bool(np.asarray(success[i])):
+            raise RuntimeError(
+                f"member {i}: decoded size {int(sizes_np[i])} != expected {s}"
+            )
+    if checksum and not status.ok:
+        raise RuntimeError(
+            f"decompression checksum mismatch: {status.error_info}"
+        )
+    return out, sizes_np, np.asarray(success), status, temp
 
 
 def decompress_data_simple(

@@ -322,9 +322,9 @@ def float_decompress_core(
             ft == FloatType.BFLOAT16, capacities, native=native,
         )
         success = success & ok & (psize.astype(I32) == n)
-        words32 = mask_packed_bytes(
-            words32, jnp.where(success, n, 0) * ws
-        )
+        # zeros beyond n*ws hold by construction (validated uncomp_w +
+        # zero-filled raw staging); one select zeroes failed members
+        words32 = jnp.where(success[:, None], words32, u32(0))
         csum_got = (
             checksum_packed(words32, n * ws)
             if verify_checksum
@@ -374,9 +374,9 @@ def float_decompress_core(
             capacities, native=native,
         )
         success = success & ok & (psize.astype(I32) == n)
-        words32 = mask_packed_bytes(
-            words32, jnp.where(success, n, 0) * ws
-        )
+        # zeros beyond n*ws hold by construction (validated uncomp_w +
+        # zero-filled raw staging); one select zeroes failed members
+        words32 = jnp.where(success[:, None], words32, u32(0))
         csum_got = (
             checksum_packed(words32, n * ws)
             if verify_checksum
@@ -421,7 +421,9 @@ def float_decompress_core(
         secs = [sec1_32[:, : 4 * E], sec2_32[:, : 2 * E]]
     comp_planes = [p[:, :E] for p in planes]
     words32 = join_packed(comp_planes, secs, ft)
-    words32 = mask_packed_bytes(words32, jnp.where(success, n, 0) * ws)
+    # planes and sections are zero beyond n by construction; one select
+    # zeroes failed members (mask_packed_bytes here was ~0.3 ms/16 MiB)
+    words32 = jnp.where(success[:, None], words32, u32(0))
 
     csum_got = (
         checksum_packed(words32, n * ws)

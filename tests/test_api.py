@@ -115,6 +115,44 @@ def test_split_size_float(rng):
     assert np.array_equal(out.view(np.uint8), x.view(np.uint8))
 
 
+def test_split_size_decompress_stays_on_device(rng):
+    """decompress_data_split_size returns ONE contiguous DEVICE array (the
+    reference writes a single device tensor, DietGpu.cpp:685-825); odd
+    16-bit splits exercise the mid-word seam runs of the device concat."""
+    import jax
+
+    for dtype, splits in [
+        ("float16", [1001, 3, 777, 4096]),  # odd counts -> seam words
+        ("bfloat16", [5, 1, 9000]),
+        ("float32", [1000, 777, 4096]),
+        ("float64", [513, 2048]),
+    ]:
+        x = normal(rng, sum(splits), dtype)
+        comp, _, _ = C.compress_data_split_size(True, x, splits)
+        out, _, success, _, _ = C.decompress_data_split_size(
+            True, comp, splits, dtype=x.dtype
+        )
+        assert isinstance(out, jax.Array) and np.all(success), dtype
+        if dtype == "bfloat16":
+            assert out.dtype == jax.numpy.bfloat16
+        # fp64 without jax x64 comes back as uint32 (lo, hi) pairs
+        assert np.array_equal(
+            np.asarray(out).reshape(-1).view(np.uint8),
+            x.view(np.uint8),
+        ), dtype
+    # raw ANS: interior 4-aligned, arbitrary tail
+    xb = rng.integers(0, 256, 10003, dtype=np.uint8)
+    comp, _, _ = C.compress_data_split_size(False, xb, [400, 8192, 1411])
+    out, _, success, _, _ = C.decompress_data_split_size(
+        False, comp, [400, 8192, 1411]
+    )
+    assert isinstance(out, jax.Array) and np.all(success)
+    assert np.array_equal(np.asarray(out), xb)
+    # size-mismatch members must raise
+    with pytest.raises(RuntimeError, match="decoded size"):
+        C.decompress_data_split_size(False, comp, [400, 8192, 1412])
+
+
 def test_split_size_raw_alignment_enforced(rng):
     x = rng.integers(0, 256, 1000, dtype=np.uint8)
     with pytest.raises(ValueError, match="4-byte aligned"):
