@@ -18,10 +18,15 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 from dietgpu_fork_tpu.core.constants import FLOAT_WORD_SIZE, FloatType
+from dietgpu_fork_tpu.api.codec import _default_native
 from dietgpu_fork_tpu.models.float_codec import (
     float_compress_core,
     float_decompress_core,
 )
+
+# r4: archives use the TPU-default layout (row-stream native on chip,
+# classic elsewhere); override with DIETTPU_NATIVE=0/1
+NATIVE = _default_native()
 
 ITERS = 6
 REPEATS = 3
@@ -50,14 +55,17 @@ def bench(ft, bs, n, prob_bits=10):
     raw_gb = bs * n * ws / 1e9
 
     def enc(d):
-        return float_compress_core(d, sizes, ft, prob_bits=prob_bits)
+        return float_compress_core(
+            d, sizes, ft, prob_bits=prob_bits, native=NATIVE
+        )
 
     comp32, comp_bytes = jax.jit(enc)(data32)
     comp32 = jnp.array(np.asarray(comp32))
 
     def dec(c):
         return float_decompress_core(
-            c, jnp.zeros((bs,), jnp.int32), n, ft, prob_bits=prob_bits
+            c, jnp.zeros((bs,), jnp.int32), n, ft, prob_bits=prob_bits,
+            native=NATIVE,
         )
 
     out = jax.jit(dec)(comp32)

@@ -21,10 +21,15 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 from dietgpu_fork_tpu.core.constants import FLOAT_WORD_SIZE, FloatType
+from dietgpu_fork_tpu.api.codec import _default_native
 from dietgpu_fork_tpu.models.sparse import (
     sparse_float_compress_core,
     sparse_float_decompress_core,
 )
+
+# r4: archives use the TPU-default layout (row-stream native on chip,
+# classic elsewhere); override with DIETTPU_NATIVE=0/1
+NATIVE = _default_native()
 
 ITERS = 4
 REPEATS = 3
@@ -57,13 +62,17 @@ def bench_one(ft, n, bs, prob_bits, sparsity=0.5):
     raw_gb = bs * n * ws / 1e9
 
     def enc(d):
-        return sparse_float_compress_core(d, sizes, ft, prob_bits=prob_bits)
+        return sparse_float_compress_core(
+            d, sizes, ft, prob_bits=prob_bits, native=NATIVE
+        )
 
     comp32, comp_bytes = jax.jit(enc)(data32)
     comp32 = jnp.array(np.asarray(comp32))
 
     def dec(c):
-        return sparse_float_decompress_core(c, n, ft, prob_bits=prob_bits)
+        return sparse_float_decompress_core(
+            c, n, ft, prob_bits=prob_bits, native=NATIVE
+        )
 
     out = jax.jit(dec)(comp32)
     got = np.asarray(out[0]).view(np.uint8)[:, : n * ws]

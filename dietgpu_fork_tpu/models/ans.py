@@ -498,12 +498,12 @@ def ans_decode_core(
     )
     if use_pallas():
         from ..ops.pallas.rans_decode_fused2 import decode_blocks_fused2
-        from ..ops.table import build_decode_tables_split
+        from ..ops.table import build_decode_tables_ranked
 
-        sym4, symtab = build_decode_tables_split(pdf, prob_bits)
+        sym4, symtab, big = build_decode_tables_ranked(pdf, prob_bits)
         out_blocks = decode_blocks_fused2(
             streams, comp_w, uncomp_w, states, sym4, symtab, prob_bits,
-            row_stream=native,
+            row_stream=native, big=big,
         )
     elif native:
         from ..ops.rans_decode import decode_blocks_rows
@@ -543,7 +543,7 @@ def ans_decode_join16_core(
     block-major raw-section words. Returns (words32 uint32[B, NB*2048/...],
     success, n, csum) with the output masked to the decoded float count."""
     from ..ops.pallas.rans_decode_fused2 import decode_join16_fused
-    from ..ops.table import build_decode_tables_split
+    from ..ops.table import build_decode_tables_ranked
 
     B = comp32.shape[0]
     streams, comp_w, uncomp_w, states, pdf, success, n, csum, NB = (
@@ -551,10 +551,10 @@ def ans_decode_join16_core(
             comp32, base32, out_floats, capacities, prob_bits, native=native
         )
     )
-    sym4, symtab = build_decode_tables_split(pdf, prob_bits)
+    sym4, symtab, big = build_decode_tables_ranked(pdf, prob_bits)
     out_fw = decode_join16_fused(
         streams, comp_w, uncomp_w, states, sym4, symtab, raw32_blocks,
-        prob_bits, bf16, row_stream=native,
+        prob_bits, bf16, row_stream=native, big=big,
     )
     OW = -(-(2 * out_floats) // 4)
     out32 = out_fw.reshape(B, NB * 2 * (BLOCK_SIZE // 4))[:, :OW]
@@ -579,7 +579,7 @@ def ans_decode_join32_core(
     (uint32[B, NB, 2048] low-u16 pairs / [B, NB, 1024] third bytes).
     Returns (words32, success, n, csum) masked to the decoded floats."""
     from ..ops.pallas.rans_decode_fused2 import decode_join32_fused
-    from ..ops.table import build_decode_tables_split
+    from ..ops.table import build_decode_tables_ranked
 
     B = comp32.shape[0]
     streams, comp_w, uncomp_w, states, pdf, success, n, csum, NB = (
@@ -587,10 +587,10 @@ def ans_decode_join32_core(
             comp32, base32, out_floats, capacities, prob_bits, native=native
         )
     )
-    sym4, symtab = build_decode_tables_split(pdf, prob_bits)
+    sym4, symtab, big = build_decode_tables_ranked(pdf, prob_bits)
     out_fw = decode_join32_fused(
         streams, comp_w, uncomp_w, states, sym4, symtab, sec1_32, sec2_32,
-        prob_bits, row_stream=native,
+        prob_bits, row_stream=native, big=big,
     )
     OW = -(-(4 * out_floats) // 4)
     out32 = out_fw.reshape(B, NB * 4 * (BLOCK_SIZE // 4))[:, :OW]

@@ -206,12 +206,22 @@ def sparse_float_compress_core(
     S_cap = _floats_capacity(W32, ft)
     n = n.astype(I32)
 
-    if use_pallas() and ft in (FloatType.FLOAT16, FloatType.BFLOAT16):
+    if use_pallas():
         # one-pass Pallas packing (the XLA shift+reduce_window form costs
         # ~3 ms per 30 MiB); tail-mask bits at/after n MSB-first-per-byte
-        from ..ops.pallas.bitmap_pack import pack_bitmap16_tpu
+        from ..ops.pallas.bitmap_pack import (
+            pack_bitmap16_tpu,
+            pack_bitmap32_tpu,
+            pack_bitmap64_tpu,
+        )
 
-        bm32 = pack_bitmap16_tpu(data32)[:, : -(-S_cap // 32)]
+        pack = {
+            FloatType.FLOAT16: pack_bitmap16_tpu,
+            FloatType.BFLOAT16: pack_bitmap16_tpu,
+            FloatType.FLOAT32: pack_bitmap32_tpu,
+            FloatType.FLOAT64: pack_bitmap64_tpu,
+        }[ft]
+        bm32 = pack(data32)[:, : -(-S_cap // 32)]
         wpos = jnp.arange(bm32.shape[1], dtype=I32)[None, :]
         r = jnp.clip(n[:, None] - wpos * 32, 0, 32)
         fb = (r >> 3).astype(U32)  # fully-valid bytes

@@ -41,58 +41,75 @@ def _lane(shape):
     return jax.lax.broadcasted_iota(I32, shape, len(shape) - 1)
 
 
+_HW = 16  # byte-groups concatenated per MXU dot (K = _HW * R)
+
+
 def _hist_accum(plane, acc, first, base_byte, nbytes):
     """Accumulate the 16x16 nibble-pair histogram of a packed uint32 plane
     value (R, 128) into a (128, 128) f32 scratch (same construction as
     ops.pallas.histogram_mxu; the split's exponent read is free here, which
     is exactly the reference's fused splitFloat+histogram,
     GpuFloatCompress.cuh:423-551). Bytes at global positions >= nbytes are
-    redirected to bin 0 and subtracted by the host wrapper."""
+    redirected to bin 0 and subtracted by the host wrapper; cells entirely
+    inside the member (the common case) skip the mask chain via a scalar
+    branch."""
     R = plane.shape[0]
     lane = _lane((R, 128))
-    row = jax.lax.broadcasted_iota(I32, (R, 128), 0)
     val = lane >> 3
     idx0 = (lane & 7) >> 2
     sh = ((lane & 3) * 8).astype(jnp.uint32)
-    # global byte position of lane's byte at g=0 (advances by 8 per g)
-    pos0 = base_byte + row * 512 + idx0 * 4 + (lane & 3)
 
     @pl.when(first)
     def _():
         acc[...] = jnp.zeros((128, 128), jnp.float32)
 
-    def body(g, total):
-        # 8 byte-groups per MXU dot (K=8R): short-K contractions leave the
-        # MXU pipeline draining; see histogram_mxu._hist_body
-        his, los = [], []
-        for t in range(8):
-            gg = g * 8 + t
-            w = jnp.take_along_axis(plane, idx0 + 2 * gg, axis=1)
-            b = ((w >> sh) & jnp.uint32(0xFF)).astype(I32)
-            b = jnp.where(pos0 + 8 * gg < nbytes, b, 0)
-            his.append(_onehot16(b >> 4, val))
-            los.append(_onehot16(b & 0xF, val))
-        a_hi = jnp.concatenate(his, axis=0)
-        a_lo = jnp.concatenate(los, axis=0)
-        return total + jax.lax.dot_general(
-            a_hi, a_lo,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    def make_body(masked):
+        # global byte position of lane's byte at g=0 (advances by 8 per g)
+        row = jax.lax.broadcasted_iota(I32, (R, 128), 0)
+        pos0 = base_byte + row * 512 + idx0 * 4 + (lane & 3)
 
-    total = jax.lax.fori_loop(
-        0, 8, body, jnp.zeros((128, 128), jnp.float32), unroll=False
+        def body(g, total):
+            his, los = [], []
+            for t in range(_HW):
+                gg = g * _HW + t
+                w = jnp.take_along_axis(plane, idx0 + 2 * gg, axis=1)
+                b = ((w >> sh) & jnp.uint32(0xFF)).astype(I32)
+                if masked:
+                    b = jnp.where(pos0 + 8 * gg < nbytes, b, 0)
+                his.append(_onehot16(b >> 4, val))
+                los.append(_onehot16(b & 0xF, val))
+            a_hi = jnp.concatenate(his, axis=0)
+            a_lo = jnp.concatenate(los, axis=0)
+            return total + jax.lax.dot_general(
+                a_hi, a_lo,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        return body
+
+    zero = jnp.zeros((128, 128), jnp.float32)
+    total = jax.lax.cond(
+        base_byte + R * 512 <= nbytes,
+        lambda: jax.lax.fori_loop(
+            0, 64 // _HW, make_body(False), zero, unroll=2
+        ),
+        lambda: jax.lax.fori_loop(
+            0, 64 // _HW, make_body(True), zero, unroll=2
+        ),
     )
     acc[...] = acc[...] + total
 
 
 def _xor_accum(x_ref, accx, first, base_word, nbytes):
-    """XOR-accumulate the cell's (masked) input words into a (8,128) u32
-    scratch — the compress-side checksum fused into the split pass, as the
-    reference fuses checksumBatch into splitFloat (GpuFloatCompress.cuh:
-    702-710). Host wrapper folds members' accumulators to byte checksums.
-    The per-byte tail mask is only computed for the cell containing the
-    member's last byte."""
+    """XOR-accumulate the cell's (masked) input words into a FULL-WIDTH
+    (R, 128) u32 scratch — the compress-side checksum fused into the split
+    pass, as the reference fuses checksumBatch into splitFloat
+    (GpuFloatCompress.cuh:702-710). One vector XOR per cell; the member's
+    last cell collapses the accumulator via _fold_xor_acc (the per-cell
+    tree fold this replaces cost ~0.35 ms per 16Mi member). The per-byte
+    tail mask is only computed for the cell containing the member's last
+    byte; the host wrapper folds (8, 128) accumulators to byte checksums."""
     x = x_ref[...]
     sh = x.shape
     R = sh[0] * sh[1]
@@ -100,7 +117,7 @@ def _xor_accum(x_ref, accx, first, base_word, nbytes):
 
     @pl.when(first)
     def _():
-        accx[...] = jnp.zeros((8, 128), U32)
+        accx[...] = jnp.zeros((R, 128), U32)
 
     cell_words = R * 128
 
@@ -116,7 +133,13 @@ def _xor_accum(x_ref, accx, first, base_word, nbytes):
     xm = jax.lax.cond(
         base_word + cell_words > (nbytes + 3) // 4, masked, lambda: x
     )
-    # tree-fold to (8, 128); adaptive cell rows need not be a power of two
+    accx[...] = accx[...] ^ xm
+
+
+def _fold_xor_acc(accx):
+    """Tree-fold the (R, 128) xor accumulator to the (8, 128) output;
+    adaptive cell rows need not be a power of two."""
+    xm = accx[...]
     npow = 8
     while npow < xm.shape[0]:
         npow *= 2
@@ -125,7 +148,7 @@ def _xor_accum(x_ref, accx, first, base_word, nbytes):
     while xm.shape[0] > 8:
         h = xm.shape[0] // 2
         xm = xm[:h] ^ xm[h:]
-    accx[...] = accx[...] ^ xm
+    return xm
 
 
 def _gsel(slabs, flat_lane_idx, sel):
@@ -229,7 +252,7 @@ def _finish_csum(x_ref, n_ref, cs_ref, accx, ws):
 
     @pl.when(t == pl.num_programs(1) - 1)
     def _():
-        cs_ref[...] = accx[...]
+        cs_ref[...] = _fold_xor_acc(accx)
 
 
 def _split32_hist_kernel(n_ref, x_ref, exp_ref, sec1_ref, sec2_ref,
@@ -254,7 +277,7 @@ def _split64_hist_kernel(n_ref, x_ref, exp0_ref, exp1_ref, sec1_ref,
     def _():
         hist0_ref[...] = acc0[...]
         hist1_ref[...] = acc1[...]
-        cs_ref[...] = accx[...]
+        cs_ref[...] = _fold_xor_acc(accx)
 
 
 def _split32_kernel(x_ref, exp_ref, sec1_ref, sec2_ref):
@@ -545,7 +568,7 @@ def split_hist_packed_tpu(data32, n_floats, float_type: FloatType):
             out_specs=[out2(R2), out2(R2), hist_spec, cs_spec],
             scratch_shapes=[
                 pltpu.VMEM((128, 128), jnp.float32),
-                pltpu.VMEM((8, 128), U32),
+                pltpu.VMEM((rows, 128), U32),
             ],
         )
         exp, raw, p, cs = pallas_call(
@@ -575,7 +598,7 @@ def split_hist_packed_tpu(data32, n_floats, float_type: FloatType):
             out_specs=[out2(R4), out3(R4, 2), out2(R4), hist_spec, cs_spec],
             scratch_shapes=[
                 pltpu.VMEM((128, 128), jnp.float32),
-                pltpu.VMEM((8, 128), U32),
+                pltpu.VMEM((rows, 128), U32),
             ],
         )
         exp, sec1, sec2, p, cs = pallas_call(
@@ -608,7 +631,7 @@ def split_hist_packed_tpu(data32, n_floats, float_type: FloatType):
             scratch_shapes=[
                 pltpu.VMEM((128, 128), jnp.float32),
                 pltpu.VMEM((128, 128), jnp.float32),
-                pltpu.VMEM((8, 128), U32),
+                pltpu.VMEM((rows, 128), U32),
             ],
         )
         exp0, exp1, sec1, sec2, p0, p1, cs = pallas_call(

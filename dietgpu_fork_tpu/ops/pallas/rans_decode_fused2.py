@@ -68,6 +68,22 @@ JOIN_BF16 = 2  # emit (raw | ror1(sym)<<8) u16 floats
 JOIN_F32 = 3  # emit ror1(low16 | sec2<<16 | sym<<24) u32 floats
 
 
+def _pack_weights():
+    """(512, 256) f32 byte->word packing for a _REBOUND(=4)-step group of
+    decoded symbol bytes: column 32*du + 8*q + w accumulates
+    sym[step du][lane 32q + 4w + pos] * 256^pos for pos < 2 (the word's low
+    u16); column 128 + 32*du + 8*q + w the same for pos >= 2 (high u16).
+    One K=512 MXU dot replaces the per-step roll + two lane gathers the
+    byte packing used to cost (values <= 65535, exact in f32)."""
+    k = jax.lax.broadcasted_iota(I32, (512, 256), 0)
+    c = jax.lax.broadcasted_iota(I32, (512, 256), 1)
+    du = k >> 7
+    l = k & 127
+    col = 32 * du + ((l >> 5) << 3) + ((l & 31) >> 2) + 128 * ((l & 3) >> 1)
+    wgt = jnp.where((l & 1) == 1, 256.0, 1.0)
+    return jnp.where(c == col, wgt, 0.0).astype(jnp.bfloat16)
+
+
 def _suffix_weights(row: bool = False):
     """(128, 256) f32. Classic: cols 0..127 = within-32-group inclusive
     suffix sum, cols 128..255 = 32-group total (one cursor per block).
@@ -88,7 +104,7 @@ def _suffix_weights(row: bool = False):
 def _decode_kernel2(
     st_ref, cw_ref, uw_ref, sym4_ref, stab_ref, stream_ref, *rest,
     prob_bits: int, G4: int, SW: int, SLC: int, join: int,
-    row: bool = False,
+    row: bool = False, wide: bool = True,
 ):
     if join == JOIN_NONE:
         out_ref = rest[0]
@@ -143,15 +159,27 @@ def _decode_kernel2(
         for c in range(1, SLC):
             g = jnp.take_along_axis(sym4_bc[c], slane, axis=1)
             w = jnp.where(schunk == c, g, w)
-        sym = (w >> ((sbar & U32(3)) << U32(3))) & U32(0xFF)
+        rk = (w >> ((sbar & U32(3)) << U32(3))) & U32(0xFF)
 
-        tl = (sym & U32(127)).astype(I32)
+        # rank-permuted second level: the slot table yields frequency
+        # RANKS and rtab is ordered by descending pdf, so members with
+        # <= 128 distinct symbols (every float exponent plane) resolve the
+        # 256-entry lookup with ONE gather; the statically-compiled `wide`
+        # variant (chosen by one XLA-level cond on `big`) adds the chunk-1
+        # gather + select for wider alphabets. A per-step in-kernel branch
+        # here cost ~0.5 ms per 16Mi member; the static twin-compile is
+        # free at run time.
+        tl = (rk & U32(127)).astype(I32)
         e = jnp.take_along_axis(stab_bc[0], tl, axis=1)
-        e = jnp.where(
-            sym > U32(127), jnp.take_along_axis(stab_bc[1], tl, axis=1), e
-        )
-        pdfv = e & U32(0xFFFF)
-        cdfv = e >> U32(16)
+        if wide:
+            e = jnp.where(
+                rk > U32(127),
+                jnp.take_along_axis(stab_bc[1], tl, axis=1),
+                e,
+            )
+        sym = e & U32(0xFF)
+        cdfv = (e >> U32(8)) & U32(0x7FF)
+        pdfv = e >> U32(19)
         states = jnp.where(
             lane_valid,
             pdfv * (states >> U32(prob_bits)) + sbar - cdfv,
@@ -207,27 +235,31 @@ def _decode_kernel2(
         sym = jnp.where(lane_valid, sym, U32(0))
         return states, ptr, sym
 
-    pack_idx = 32 * (lane >> 3) + 4 * (lane & 7)
-
-    def pack(sym):
-        """(G4,128) bytes -> (G4,32) u32 words [q*8 + w]."""
-        p = sym | (pltpu.roll(sym, 127, 1) << U32(8))
-        word = jnp.take_along_axis(p, pack_idx, axis=1) | (
-            jnp.take_along_axis(p, pack_idx + 2, axis=1) << U32(16)
-        )
-        return word[:, :32]
-
+    WP = _pack_weights()
     words = []
     for grp in range(_UNROLL // _REBOUND):
         ptrg = ofs32 + (ptr >> 1)
         hi_c = jnp.max(jnp.where(live, ptrg, 0)) >> (7 if row else 5)
         mn = jnp.min(jnp.where(live, ptrg, 2 * SW))
+        gsyms = []
         for du in range(_REBOUND):
             u = grp * _REBOUND + du
             states, ptr, sym = one_step(
                 j * _UNROLL + u, du, states, ptr, hi_c, mn
             )
-            words.append(pack(sym))
+            # Mosaic has no u32->bf16 cast; go via i32 (values <= 255)
+            gsyms.append(sym.astype(I32).astype(jnp.bfloat16))
+        # MXU byte->word packing for the whole group (see _pack_weights);
+        # result column 32*du + q*8 + w is u32 word [q*8 + w] of step du
+        P = jax.lax.dot_general(
+            jnp.concatenate(gsyms, axis=1), WP,
+            (((1,), (0,)), ((), ())), preferred_element_type=F32,
+        )
+        gw = (
+            P[:, :128].astype(I32) | (P[:, 128:].astype(I32) << 16)
+        ).astype(U32)
+        for du in range(_REBOUND):
+            words.append(gw[:, 32 * du : 32 * du + 32])
 
     states_s[...] = states
     ptr_s[...] = ptr
@@ -317,11 +349,13 @@ def _decode_kernel2(
 
 
 def _pick_g(NB: int) -> int:
-    # G=256 beats 512/1024 on-chip: the renorm window stays narrow (fewer
-    # blocks per cell -> tighter cursor spread for the _FAST path) and the
-    # per-invocation bound reductions stay quarter-size
-    if NB >= 256:
-        return 256
+    # G=512 (r4 re-measure): the decode walk is LATENCY-bound on its
+    # per-step dependent-gather chain, so doubling rows per cell halves
+    # invocation count at the same total step count — 0.44 -> 0.30 ms per
+    # 16Mi plane vs G=256 (scratch/dec_var_r4.py, interleaved A/B). The r3
+    # window-spread concern is covered by the adaptive [lo, hi] read.
+    if NB >= 512:
+        return 512
     return max(8, -(-NB // 8) * 8)
 
 
@@ -454,10 +488,13 @@ def decode_blocks_fused2(
     prob_bits: int,
     row_stream: bool = False,
     interpret: bool = False,
+    big: jax.Array | None = None,
 ) -> jax.Array:
     """Plain ANS decode. streams_ea: uint32[B, NB, SW] END-aligned (block
-    words at [SW-cw32, SW), SW % 32 == 0); sym4: uint32[B, 2^pb/4] packed
-    slot->sym; symtab: uint32[B, 256] = pdf | cdf<<16.
+    words at [SW-cw32, SW), SW % 32 == 0); (sym4, symtab, big) are the
+    RANK-permuted tables from build_decode_tables_ranked: sym4 packs
+    slot->rank 4/word, symtab maps rank -> (sym | cdf<<8 | pdf<<19), and
+    big flags alphabets wider than 128 ranks (big=None assumes wide).
     row_stream: streams_ea is uint32[B, NR, SW] (NR = ceil(NB/4)) of
     END-aligned per-ROW native streams (SW % 128 == 0).
     Returns uint32[B, NB, BLOCK_SIZE/4] packed decoded bytes."""
@@ -475,10 +512,12 @@ def decode_blocks_fused2(
     sym4_r, stab_r, SLC = _row_tables(sym4, symtab, NB4, NBP, G4)
 
     cells = CELLS
-    out = pallas_call(
+
+    def run(wide):
+        return pallas_call(
         functools.partial(
             _decode_kernel2, prob_bits=prob_bits, G4=G4, SW=SW, SLC=SLC,
-            join=JOIN_NONE, row=row_stream,
+            join=JOIN_NONE, row=row_stream, wide=wide,
         ),
         grid=(1, CELLS, _NJ),
         in_specs=[
@@ -526,6 +565,14 @@ def decode_blocks_fused2(
         ),
         interpret=interpret,
     )(st, cw, uw, sym4_r, stab_r, ST)
+
+    out = (
+        run(True)
+        if big is None
+        else jax.lax.cond(
+            big[0, 0] > 0, lambda: run(True), lambda: run(False)
+        )
+    )
     return _unflatten(out, B, NB, NB4, NBF, NBP, BLOCK_SIZE // 4)
 
 
@@ -544,10 +591,12 @@ def decode_join16_fused(
     bf16: bool,
     row_stream: bool = False,
     interpret: bool = False,
+    big: jax.Array | None = None,
 ) -> jax.Array:
     """Fused ANS-decode + 16-bit float join (reference RUN_FUSED,
     GpuFloatDecompress.cuh:935-972). raw32: uint32[B, NB, 1024] block-major
-    raw-section words (raw word k of block nb = bytes of floats 4k..4k+3).
+    raw-section words (raw word k of block nb = bytes of floats 4k..4k+3);
+    (sym4, symtab, big) from build_decode_tables_ranked.
     Returns uint32[B, NB, 2048]: final float words per block."""
     B = streams_ea.shape[0]
     NB = comp_words.shape[1]
@@ -566,10 +615,12 @@ def decode_join16_fused(
     )
 
     cells = CELLS
-    out = pallas_call(
+
+    def run(wide):
+        return pallas_call(
         functools.partial(
             _decode_kernel2, prob_bits=prob_bits, G4=G4, SW=SW, SLC=SLC,
-            join=JOIN_BF16 if bf16 else JOIN_F16, row=row_stream,
+            join=JOIN_BF16 if bf16 else JOIN_F16, row=row_stream, wide=wide,
         ),
         grid=(1, CELLS, _NJ),
         in_specs=[
@@ -622,6 +673,14 @@ def decode_join16_fused(
         ),
         interpret=interpret,
     )(st, cw, uw, sym4_r, stab_r, ST, raw_c)
+
+    out = (
+        run(True)
+        if big is None
+        else jax.lax.cond(
+            big[0, 0] > 0, lambda: run(True), lambda: run(False)
+        )
+    )
     return _unflatten(out, B, NB, NB4, NBF, NBP, 2 * (BLOCK_SIZE // 4))
 
 
@@ -640,11 +699,13 @@ def decode_join32_fused(
     prob_bits: int,
     row_stream: bool = False,
     interpret: bool = False,
+    big: jax.Array | None = None,
 ) -> jax.Array:
     """Fused ANS-decode + fp32 join (reference RUN_FUSED for kFloat32,
     GpuFloatDecompress.cuh:935-972). sec1_32: uint32[B, NB, 2048]
     block-major low-u16 pairs; sec2_32: uint32[B, NB, 1024] block-major
-    third bytes. Returns uint32[B, NB, 4096]: final fp32 words."""
+    third bytes; (sym4, symtab, big) from build_decode_tables_ranked.
+    Returns uint32[B, NB, 4096]: final fp32 words."""
     B = streams_ea.shape[0]
     NB = comp_words.shape[1]
     SW = streams_ea.shape[2]
@@ -665,10 +726,12 @@ def decode_join32_fused(
     )
 
     cells = CELLS
-    out = pallas_call(
+
+    def run(wide):
+        return pallas_call(
         functools.partial(
             _decode_kernel2, prob_bits=prob_bits, G4=G4, SW=SW, SLC=SLC,
-            join=JOIN_F32, row=row_stream,
+            join=JOIN_F32, row=row_stream, wide=wide,
         ),
         grid=(1, CELLS, _NJ),
         in_specs=[
@@ -726,4 +789,12 @@ def decode_join32_fused(
         ),
         interpret=interpret,
     )(st, cw, uw, sym4_r, stab_r, ST, s1c, s2c)
+
+    out = (
+        run(True)
+        if big is None
+        else jax.lax.cond(
+            big[0, 0] > 0, lambda: run(True), lambda: run(False)
+        )
+    )
     return _unflatten(out, B, NB, NB4, NBF, NBP, 4 * (BLOCK_SIZE // 4))

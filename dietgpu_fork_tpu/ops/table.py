@@ -155,6 +155,63 @@ def build_decode_tables_split(
     return sym4, symtab
 
 
+def build_decode_tables_ranked(
+    pdf: jax.Array, prob_bits: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Rank-permuted two-level decode tables for the v2 Pallas decoder.
+
+    Symbols are renumbered by descending pdf (ties by ascending symbol id)
+    so the hot second-level lookup hits lane chunk 0 whenever a member has
+    <= 128 distinct symbols — the common case for float exponent planes,
+    where the per-step 256-entry lookup then needs ONE gather instead of
+    two plus a select. Decode tables are derived from the archive's pdf at
+    decode time, so this permutation never touches the format
+    (GpuANSDecode.cuh:405-476 builds its LUT the same way).
+
+    Returns (rank4, rtab, big):
+      rank4: uint32[B, 2^pb/4] — slot -> rank, 4 packed per word;
+      rtab:  uint32[B, 256] — rank -> (sym | cdf<<8 | pdf<<19);
+      big:   int32[1, 1] — 1 if any member uses a rank >= 128 (the decode
+             kernel then adds the chunk-1 gather + select).
+    """
+    B = pdf.shape[0]
+    nbuckets = 1 << prob_bits
+    bounds = jnp.cumsum(pdf.astype(I32), axis=1)  # inclusive
+    slots = jnp.arange(nbuckets, dtype=I32)
+    sym = jnp.minimum(
+        jnp.sum(
+            bounds[:, None, :] <= slots[None, :, None], axis=2, dtype=I32
+        ),
+        NUM_SYMBOLS - 1,
+    )
+
+    # descending-pdf rank via compare-sum (XLA sort serializes on TPU)
+    p = pdf.astype(I32)
+    syms = jnp.arange(NUM_SYMBOLS, dtype=I32)
+    key = (p << 8) | (NUM_SYMBOLS - 1 - syms)[None, :]
+    rank = jnp.sum(key[:, None, :] > key[:, :, None], axis=2, dtype=I32)
+
+    rk = jnp.take_along_axis(rank, sym, axis=1).astype(U32)
+    r4 = rk.reshape(B, nbuckets // 4, 4)
+    rank4 = (
+        r4[:, :, 0] | (r4[:, :, 1] << u32(8)) | (r4[:, :, 2] << u32(16))
+        | (r4[:, :, 3] << u32(24))
+    )
+
+    cdf = (bounds - p).astype(U32)
+    packed = syms.astype(U32)[None, :] | (cdf << u32(8)) | (
+        pdf.astype(U32) << u32(19)
+    )
+    # rtab[b, r] = packed[b, s] where rank[b, s] == r (rank is a
+    # permutation: keys are unique per member)
+    eq = rank[:, None, :] == jnp.arange(NUM_SYMBOLS, dtype=I32)[None, :, None]
+    rtab = jnp.sum(jnp.where(eq, packed[:, None, :], u32(0)), axis=2)
+
+    nnz = jnp.max(jnp.sum((pdf > 0).astype(I32), axis=1))
+    big = (nnz > 128).astype(I32).reshape(1, 1)
+    return rank4, rtab, big
+
+
 def build_decode_table_batched(pdf: jax.Array, prob_bits: int) -> jax.Array:
     """Expand pdf rows into 2^prob_bits decode LUTs; entries pack
     ((slot - cdf) << 20 | pdf << 8 | sym) (GpuANSDecode.cuh:34-41).

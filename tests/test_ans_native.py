@@ -192,6 +192,7 @@ def test_corrupt_native_block_words_fail_safely(rng):
     assert not np.any(np.asarray(out))
 
 
+@pytest.mark.slow
 class TestInterpretNative:
     """Pallas kernel native path (row-stream phase B compaction + row_stream
     decode staging) in interpret mode — the same coverage contract as

@@ -11,6 +11,8 @@ checked by tests/test_tpu_kernels.py on real hardware.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import dietgpu_fork_tpu.api.codec as C
 
 

@@ -9,6 +9,8 @@ of blocks per member, multi-cell kernels) is exercised everywhere."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 
 import dietgpu_fork_tpu.api.codec as C
