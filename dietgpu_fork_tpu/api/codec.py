@@ -685,6 +685,7 @@ def decompress_data_split_size(
             bitcast_u8_to_u32(m), jnp.zeros((B,), I32),
             out_floats=max(cap, 1), float_type=ft, prob_bits=prob_bits,
             capacities=jnp.asarray(split, I32), verify_checksum=checksum,
+            native=native,
         )
         ws = FLOAT_WORD_SIZE[ft]
         byte_lens = tuple(s * ws for s in split)
@@ -743,8 +744,11 @@ def decompress_data_split_size(
         temp = sm.ans_decode_temp_size(B, prob_bits)
 
     sizes_np = np.asarray(sizes)
+    success_np = np.asarray(success)
     for i, s in enumerate(split):
-        if int(sizes_np[i]) != s or not bool(np.asarray(success[i])):
+        if not bool(success_np[i]):
+            raise RuntimeError(f"member {i}: decompression failed")
+        if int(sizes_np[i]) != s:
             raise RuntimeError(
                 f"member {i}: decoded size {int(sizes_np[i])} != expected {s}"
             )
@@ -752,7 +756,7 @@ def decompress_data_split_size(
         raise RuntimeError(
             f"decompression checksum mismatch: {status.error_info}"
         )
-    return out, sizes_np, np.asarray(success), status, temp
+    return out, sizes_np, success_np, status, temp
 
 
 def decompress_data_simple(

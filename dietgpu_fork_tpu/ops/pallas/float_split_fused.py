@@ -91,11 +91,13 @@ def _hist_accum(plane, acc, first, base_byte, nbytes):
     zero = jnp.zeros((128, 128), jnp.float32)
     total = jax.lax.cond(
         base_byte + R * 512 <= nbytes,
+        # Mosaic only lowers unroll=1 or unroll=num_steps; full unroll
+        # (4 steps at _HW=16) exceeds the 16 MiB scoped-VMEM stack limit.
         lambda: jax.lax.fori_loop(
-            0, 64 // _HW, make_body(False), zero, unroll=2
+            0, 64 // _HW, make_body(False), zero, unroll=1
         ),
         lambda: jax.lax.fori_loop(
-            0, 64 // _HW, make_body(True), zero, unroll=2
+            0, 64 // _HW, make_body(True), zero, unroll=1
         ),
     )
     acc[...] = acc[...] + total

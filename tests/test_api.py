@@ -115,6 +115,29 @@ def test_split_size_float(rng):
     assert np.array_equal(out.view(np.uint8), x.view(np.uint8))
 
 
+def test_split_size_native_autodetect(rng):
+    """Split-size decode of a ROW-STREAM (native) archive — the TPU
+    compression default — with no native= pin: the auto-detected layout
+    must thread through to the decoder (r4 regression: codec.py dropped
+    the detected flag and every native split-size decode raised)."""
+    splits = [1000, 777, 4096]
+    x = normal(rng, sum(splits), "float32")
+    comp, _, _ = C.compress_data_split_size(True, x, splits, native=True)
+    out, _, success, _, _ = C.decompress_data_split_size(
+        True, comp, splits, dtype=x.dtype
+    )
+    assert np.all(success)
+    assert np.array_equal(np.asarray(out).view(np.uint8), x.view(np.uint8))
+    # raw-ANS native split-size autodetect as well
+    xb = rng.integers(0, 256, 10000, dtype=np.uint8)
+    comp, _, _ = C.compress_data_split_size(False, xb, [400, 9600], native=True)
+    out, _, success, _, _ = C.decompress_data_split_size(
+        False, comp, [400, 9600]
+    )
+    assert np.all(success)
+    assert np.array_equal(np.asarray(out), xb)
+
+
 def test_split_size_decompress_stays_on_device(rng):
     """decompress_data_split_size returns ONE contiguous DEVICE array (the
     reference writes a single device tensor, DietGpu.cpp:685-825); odd

@@ -143,6 +143,54 @@ def test_runs_merge_aligned_direct_dma(rng):
     assert np.array_equal(np.asarray(got), np.asarray(want))
 
 
+def _mask_bitmap_tail(got, N):
+    """The production tail mask from sparse_float_compress_core: zero all
+    bitmap bits at/after float N (MSB-first within each byte)."""
+    wpos = np.arange(got.shape[1], dtype=np.int32)[None, :]
+    r = np.clip(N - wpos * 32, 0, 32)
+    fb = (r >> 3).astype(np.uint64)
+    full = np.where(fb >= 4, 0xFFFFFFFF, (1 << (fb * 8)) - 1).astype(
+        np.uint32
+    )
+    part = (((0xFF << (8 - (r & 7))) & 0xFF).astype(np.uint32)) << (
+        fb * 8
+    ).astype(np.uint32)
+    return got & (full | np.where(r < 32, part, 0).astype(np.uint32))
+
+
+@pytest.mark.parametrize("ftname", ["FLOAT32", "FLOAT64"])
+def test_pack_bitmap32_64_matches_xla(rng, ftname):
+    """pack_bitmap32_tpu / pack_bitmap64_tpu vs the XLA direct pack —
+    the wide-word analogues of test_pack_bitmap16_matches_xla; these are
+    on the production sparse fp32/fp64 compress path (models/sparse.py)."""
+    from dietgpu_fork_tpu.core.constants import FloatType
+    from dietgpu_fork_tpu.models import sparse as SP
+    from dietgpu_fork_tpu.ops.pallas.bitmap_pack import (
+        pack_bitmap32_tpu,
+        pack_bitmap64_tpu,
+    )
+
+    ft = FloatType[ftname]
+    wpf = 1 if ft == FloatType.FLOAT32 else 2  # u32 words per float
+    kern = pack_bitmap32_tpu if wpf == 1 else pack_bitmap64_tpu
+    for N, B in ((100_000, 1), (8192, 3), (31, 1), (131072 + 77, 2)):
+        x = rng.normal(0, 1, (B, N))
+        x[rng.random((B, N)) < 0.5] = 0
+        if ft == FloatType.FLOAT32:
+            d = np.ascontiguousarray(x.astype(np.float32)).view(np.uint32)
+        else:
+            d = np.ascontiguousarray(x.astype(np.float64)).view(np.uint32)
+        d = jnp.asarray(d)
+        n = jnp.full((B,), N, jnp.int32)
+        S_cap = SP._floats_capacity(d.shape[1], ft)
+        want = np.asarray(SP._pack_bitmap_direct(d, n, S_cap, ft))
+        got = np.asarray(kern(d))[:, : -(-S_cap // 32)]
+        got = _mask_bitmap_tail(got, N)
+        W = min(want.shape[1], got.shape[1])
+        assert np.array_equal(got[:, :W], want[:, :W]), (ftname, N, B)
+        assert not want[:, W:].any() and not got[:, W:].any()
+
+
 def test_pack_bitmap16_matches_xla(rng):
     from dietgpu_fork_tpu.core.constants import FloatType
     from dietgpu_fork_tpu.models import sparse as SP
