@@ -174,6 +174,9 @@ def build_decode_tables_ranked(
       big:   int32[1, 1] — 1 if any member uses a rank >= 128 (the decode
              kernel then adds the chunk-1 gather + select).
     """
+    # rtab packs cdf into bits 8..18 (11 bits) and pdf into 19..31
+    # (13 bits) — both overflow silently past prob_bits 11
+    assert prob_bits <= 11, prob_bits
     B = pdf.shape[0]
     nbuckets = 1 << prob_bits
     bounds = jnp.cumsum(pdf.astype(I32), axis=1)  # inclusive

@@ -17,7 +17,7 @@ from dietgpu_fork_tpu.models.ans import (
     ans_encode_sections, _ans_parse_and_stage,
 )
 from dietgpu_fork_tpu.ops.float_split import split_hist_packed
-from dietgpu_fork_tpu.ops.table import build_decode_tables_split
+from dietgpu_fork_tpu.ops.table import build_decode_tables_ranked
 
 N = 1 << 24
 ITERS = 5
@@ -106,8 +106,8 @@ def main():
         streams, comp_w, uncomp_w, states, pdf, success, n, csum, NB = (
             _ans_parse_and_stage(c, ans_base, N, None, 10, native=NATIVE)
         )
-        sym4, symtab = build_decode_tables_split(pdf, 10)
-        return streams, sym4, symtab
+        sym4, symtab, big = build_decode_tables_ranked(pdf, 10)
+        return streams, sym4, symtab, big
 
     def cut_dec_full(c):
         return float_decompress_core(

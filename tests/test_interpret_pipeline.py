@@ -82,5 +82,8 @@ def test_raw_ans(rng):
         assert np.array_equal(np.asarray(o), t)
 
 
-def test_sparse(rng):
-    _roundtrip_float(rng, np.float16, [16000], sparse=True)
+@pytest.mark.parametrize("dtype", [np.float16, np.float32, np.float64])
+def test_sparse(rng, dtype):
+    # fp32/fp64 exercise pack_bitmap32_tpu / pack_bitmap64_tpu and the
+    # wide-word compact/expand paths in interpret mode
+    _roundtrip_float(rng, dtype, [16000], sparse=True)
