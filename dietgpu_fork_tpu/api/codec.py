@@ -652,6 +652,26 @@ def _ragged_concat_fn(byte_lens: tuple, Wcap: int):
     return concat
 
 
+def as_float64(out) -> np.ndarray:
+    """Host float64 view of an fp64 decompress output.
+
+    fp64-capable entry points that return DEVICE arrays
+    (decompress_data_split_size, decompress_data_device) represent each
+    float64 as a little-endian (lo, hi) uint32 pair when ``jax_enable_x64``
+    is off, because jnp has no float64 dtype in that mode. This helper
+    produces np.float64 from either representation (a float64 array passes
+    through)."""
+    a = np.asarray(out)
+    if a.dtype == np.float64:
+        return a
+    if a.dtype != np.uint32 or a.size % 2:
+        raise ValueError(
+            f"expected float64 or an even-length uint32 pair array, got "
+            f"{a.dtype}[{a.shape}]"
+        )
+    return np.ascontiguousarray(a).reshape(-1).view(np.float64)
+
+
 def decompress_data_split_size(
     compress_as_float: bool,
     comps: Union[Sequence, jax.Array],
@@ -665,7 +685,12 @@ def decompress_data_split_size(
     sizes (element counts). Decoded sizes must match exactly; parity with
     DietGpu.cpp:685-825, which writes a single device tensor — the data
     path here is jit decode + one device runs-merge, no host round trip
-    (sizes/success/checksums are D2H'd as metadata only)."""
+    (sizes/success/checksums are D2H'd as metadata only).
+
+    float64 archives: with ``jax_enable_x64`` on, the output is a float64
+    device array; with it off (JAX's default), the same device bytes are
+    returned as a uint32[total, 2] array of little-endian (lo, hi) word
+    pairs — pass it to :func:`as_float64` for a host float64 view."""
     m = _comp_matrix(comps)
     B = m.shape[0]
     split = [int(s) for s in out_split_sizes]
@@ -703,13 +728,12 @@ def decompress_data_split_size(
         else:
             # float64 exists as a JAX dtype only under x64; otherwise
             # return the raw uint32 (lo, hi) pairs — same device bytes,
-            # viewable as float64 on the host
+            # as_float64() gives the host float64 view
+            pairs = flat32.reshape(-1, 2)[:n_elems]
             out = (
-                jax.lax.bitcast_convert_type(
-                    flat32.reshape(-1, 2), jnp.float64
-                )
+                jax.lax.bitcast_convert_type(pairs, jnp.float64)
                 if jax.config.jax_enable_x64
-                else flat32
+                else pairs
             )
         status = (
             _checksum_status(success, ca, cg) if checksum else DecompressStatus()

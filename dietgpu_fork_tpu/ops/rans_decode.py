@@ -104,7 +104,7 @@ def decode_blocks(
             (idx16 & 1) == 1, w32 >> u32(16), w32 & u32(0xFFFF)
         )
         states = jnp.where(read, (states << u32(16)) + val, states)
-        ptr = ptr - read.astype(I32).sum(axis=2)
+        ptr = ptr - read.astype(I32).sum(axis=2, dtype=I32)
         return (states, ptr), sym
 
     ks = jnp.arange(STEPS_PER_BLOCK, dtype=I32)
@@ -208,7 +208,7 @@ def decode_blocks_rows(
         ).reshape(idx16.shape)
         val = jnp.where((idx16 & 1) == 1, w32 >> u32(16), w32 & u32(0xFFFF))
         states = jnp.where(read, (states << u32(16)) + val, states)
-        ptr = ptr - read.astype(I32).sum(axis=2)
+        ptr = ptr - read.astype(I32).sum(axis=2, dtype=I32)
         return (states, ptr), sym
 
     ks = jnp.arange(S, dtype=I32)

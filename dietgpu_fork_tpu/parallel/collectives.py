@@ -7,25 +7,38 @@ For exponent-compressible data (gradients, activations ~ N(0, sigma)) this
 cuts all-gather / all-reduce wire bytes to the compression ratio (~0.67x for
 bf16, ~0.25x+raw for fp32 exponents).
 
-Because XLA collectives need static shapes, the wire buffer is sized by a
-static `budget_ratio` of the raw shard size (default covers N(0,1)-like data
-with headroom). A shard whose archive exceeds the budget cannot ride the
-smaller wire; it arrives as zeros with its per-shard `ok` flag cleared —
-the same capacity-failure contract as the codec's decode path
-(GpuANSDecode.cuh:326-337). Set budget_ratio >= 1.31 (max expansion) to make
-overflow impossible, or check the flags and fall back to an uncompressed
-collective for the rare incompressible step.
+Wire protocol (two-phase, variable length):
+
+1. SIZE EXCHANGE — each device compresses locally, then all-gathers a tiny
+   (2,) int32 header [flag, payload_words]. The payload is the archive when
+   it is smaller than the raw shard, else the raw words themselves (flag 2)
+   — so incompressible data costs raw + one chunk of rounding, never more,
+   and transport NEVER fails for capacity reasons.
+2. CHUNKED TRANSFER — the payload moves in fixed CHUNK-word slices through
+   a `lax.while_loop` whose trip count is ceil(max_payload / chunk): the
+   count is data-dependent but identical on every device (it comes from the
+   gathered sizes), which XLA permits for collectives inside loops. Wire
+   bytes therefore track the ACTUAL compressed size to chunk granularity
+   (default <= ~1.6% of the raw shard), instead of a static worst-case
+   budget.
+
+The per-shard `ok` flag is kept for API stability and for transport of
+corrupt archives (a decode failure of a compressed row still reports
+False), but the raw fallback makes capacity overflow impossible.
+
+Every collective accepts `return_stats=True` to additionally return the
+per-device payload wire words actually moved (measured in-graph, not
+modeled) so `bench/scaling.py` reports real numbers.
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import partial as _partial
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from functools import partial as _partial
 
 try:
     from jax import shard_map as _shard_map
@@ -43,65 +56,112 @@ from ..ops.bitops import u32
 I32 = jnp.int32
 U32 = jnp.uint32
 
-
-# fixed per-archive overhead allowance: float headers (32B) + per-plane ANS
-# header/pdf-table/block metadata (~700B for small shards)
-_WIRE_FIXED_OVERHEAD = 1024
-
-# Per-dtype wire budgets (fraction of raw shard bytes), sized to carry
-# N(0,1)-distributed data with headroom over the measured archive ratios
-# (fp16 0.861, bf16 0.675, fp32 0.838, fp64 0.879 at 128Ki floats) plus the
-# fixed overhead above. A single 0.85 default silently dropped fp16/fp64
-# shards whose natural ratio exceeds it; pass budget_ratio explicitly to
-# trade wire bytes against overflow risk for other distributions, or >=1.31
-# to make overflow impossible.
-_DEFAULT_BUDGET_RATIO = {
-    FloatType.FLOAT16: 0.95,
-    FloatType.BFLOAT16: 0.78,
-    FloatType.FLOAT32: 0.92,
-    FloatType.FLOAT64: 0.96,
-}
+_FLAG_COMP = 1  # payload words are a float archive
+_FLAG_RAW = 2  # payload words are the raw shard (archive was >= raw)
 
 
-def _resolve_budget(budget_ratio, ft: FloatType) -> float:
-    return _DEFAULT_BUDGET_RATIO[ft] if budget_ratio is None else budget_ratio
+def _chunk_words(payload_words: int, override: Optional[int]) -> int:
+    """Transfer granularity: ~1/64 of the payload buffer, 128-word aligned,
+    clamped to [128, 8192] words (512 B .. 32 KiB). Small enough that the
+    round-up waste stays under ~2% of raw, big enough that per-chunk
+    collective launches amortize."""
+    if override is not None:
+        cw = override
+    else:
+        cw = min(8192, max(128, payload_words // 64))
+    return -(-cw // 128) * 128
 
 
-def _wire_words(n_floats: int, ft: FloatType, budget_ratio: float) -> int:
-    raw_bytes = n_floats * FLOAT_WORD_SIZE[ft]
-    budget = int(raw_bytes * budget_ratio) + _WIRE_FIXED_OVERHEAD
-    return -(-budget // 16) * 4  # uint32 words, 16B multiple
+def _pad_words(payload_words: int, chunk_w: int) -> int:
+    return max(chunk_w, -(-payload_words // chunk_w) * chunk_w)
 
 
-def _encode_wire(x32: jax.Array, n: int, ft: FloatType, prob_bits: int,
-                 wire_w: int) -> jax.Array:
-    """Compress one shard into a fixed wire buffer. Wire row =
-    [fits_flag, payload...]; an over-budget archive sends zeros + flag 0."""
+def _encode_payload(x32: jax.Array, n: int, ft: FloatType, prob_bits: int,
+                    pad_w: int):
+    """Compress one shard; return ([pad_w] u32 payload, (2,) i32 meta).
+
+    meta = [flag, payload_words]: flag 1 = archive, flag 2 = raw words (the
+    archive did not beat raw, so the raw shard rides the wire instead)."""
+    raw_w = x32.shape[0]
     comp32, comp_bytes = float_compress_core(
         x32[None, :], jnp.array([n], I32), ft, prob_bits
     )
     comp32 = comp32[0]
-    fits = (comp_bytes[0] >> 2) <= (wire_w - 1)
+    comp_w = (comp_bytes[0] + 3) >> 2
+    use_comp = comp_w <= raw_w
 
-    k = jnp.arange(wire_w - 1)
-    comp_part = jnp.where(
-        k < comp32.shape[0],
-        comp32[jnp.clip(k, 0, comp32.shape[0] - 1)],
-        u32(0),
+    if comp32.shape[0] >= pad_w:
+        comp_pad = comp32[:pad_w]
+    else:
+        comp_pad = jnp.pad(comp32, (0, pad_w - comp32.shape[0]))
+    raw_pad = jnp.pad(x32, (0, pad_w - raw_w))
+    payload = jnp.where(use_comp, comp_pad, raw_pad)
+    meta = jnp.stack(
+        [
+            jnp.where(use_comp, I32(_FLAG_COMP), I32(_FLAG_RAW)),
+            jnp.where(use_comp, comp_w.astype(I32), I32(raw_w)),
+        ]
     )
-    payload = jnp.where(fits, comp_part, u32(0))
-    return jnp.concatenate([jnp.where(fits, u32(1), u32(0))[None], payload])
+    return payload, meta
 
 
-def _decode_wire(row: jax.Array, n: int, ft: FloatType, prob_bits: int,
-                 w32: int):
-    flag = row[0]
-    payload = row[1:]
+def _decode_payload(payload: jax.Array, meta: jax.Array, n: int,
+                    ft: FloatType, prob_bits: int, w32: int):
+    """Inverse of _encode_payload for one received row."""
+    flag = meta[0]
     words, ok, _, _, _ = float_decompress_core(
         payload[None, :], jnp.zeros((1,), I32), n, ft, prob_bits
     )
-    good = (flag == 1) & ok[0]
-    return jnp.where(good, words[0][:w32], u32(0)), good
+    decoded = jnp.where(flag == _FLAG_RAW, payload[:w32], words[0][:w32])
+    good = (flag == _FLAG_RAW) | ((flag == _FLAG_COMP) & ok[0])
+    return jnp.where(good, decoded, u32(0)), good
+
+
+def _gather_chunked(payload, meta, axis: str, ndev: int, chunk_w: int):
+    """All-gather `payload` moving only ceil(gmax/chunk) chunks per device.
+    Returns ((ndev, pad_w) payloads, (ndev, 2) metas, wire words moved)."""
+    pad_w = payload.shape[0]
+    metas = jax.lax.all_gather(meta, axis)  # (ndev, 2)
+    gmax = jnp.max(metas[:, 1])
+    nchunks = (gmax + chunk_w - 1) // chunk_w
+    out = jnp.zeros((ndev, pad_w), U32)
+
+    def body(carry):
+        i, out = carry
+        c = jax.lax.dynamic_slice(payload, (i * chunk_w,), (chunk_w,))
+        g = jax.lax.all_gather(c, axis)
+        return (
+            i + 1,
+            jax.lax.dynamic_update_slice(out, g, (I32(0), i * chunk_w)),
+        )
+
+    _, out = jax.lax.while_loop(
+        lambda c: c[0] < nchunks, body, (I32(0), out)
+    )
+    return out, metas, nchunks * chunk_w
+
+
+def _permute_chunked(payload, meta, axis: str, perm, chunk_w: int):
+    """ppermute `payload`; trip count from the global max payload size (one
+    tiny all-gather), meta rides the permute so the receiver can decode.
+    Returns (received payload, received meta, wire words moved)."""
+    pad_w = payload.shape[0]
+    sizes = jax.lax.all_gather(meta[1], axis)
+    gmax = jnp.max(sizes)
+    nchunks = (gmax + chunk_w - 1) // chunk_w
+    moved_meta = jax.lax.ppermute(meta, axis, perm)
+    out = jnp.zeros((pad_w,), U32)
+
+    def body(carry):
+        i, out = carry
+        c = jax.lax.dynamic_slice(payload, (i * chunk_w,), (chunk_w,))
+        g = jax.lax.ppermute(c, axis, perm)
+        return (i + 1, jax.lax.dynamic_update_slice(out, g, (i * chunk_w,)))
+
+    _, out = jax.lax.while_loop(
+        lambda c: c[0] < nchunks, body, (I32(0), out)
+    )
+    return out, moved_meta, nchunks * chunk_w
 
 
 def compressed_all_gather(
@@ -109,32 +169,42 @@ def compressed_all_gather(
     mesh: Mesh,
     axis: str = "data",
     prob_bits: int = 10,
-    budget_ratio: Optional[float] = None,
-) -> jax.Array:
+    chunk_words: Optional[int] = None,
+    return_stats: bool = False,
+):
     """All-gather a float array sharded on its leading dim over `axis`,
-    moving compressed bytes over the interconnect. Lossless."""
+    moving compressed bytes over the interconnect. Lossless; incompressible
+    shards automatically ride the wire raw (never more than raw + one chunk
+    of rounding)."""
     ft = _ft_of(x.dtype)
-    budget_ratio = _resolve_budget(budget_ratio, ft)
     ndev = mesh.shape[axis]
     assert x.shape[0] % ndev == 0
 
     def fn(local):
         flat32, n, w32 = _to_u32(local)
-        wire_w = _wire_words(n, ft, budget_ratio)
-        wire = _encode_wire(flat32, n, ft, prob_bits, wire_w)
-        gathered = jax.lax.all_gather(wire, axis)  # (ndev, wire_w)
+        chunk_w = _chunk_words(w32, chunk_words)
+        pad_w = _pad_words(w32, chunk_w)
+        payload, meta = _encode_payload(flat32, n, ft, prob_bits, pad_w)
+        rows, metas, wire_w = _gather_chunked(
+            payload, meta, axis, ndev, chunk_w
+        )
         decoded, good = jax.vmap(
-            lambda r: _decode_wire(r, n, ft, prob_bits, w32)
-        )(gathered)
+            lambda r, m: _decode_payload(r, m, n, ft, prob_bits, w32)
+        )(rows, metas)
         return (
             _from_u32(decoded.reshape(-1), local.dtype,
                       (ndev * local.shape[0],) + local.shape[1:]),
             good,
+            wire_w[None],
         )
 
-    return shard_map(
-        fn, mesh=mesh, in_specs=(P(axis),), out_specs=(P(None), P(None))
+    out, good, wire = shard_map(
+        fn, mesh=mesh, in_specs=(P(axis),),
+        out_specs=(P(None), P(None), P(axis)),
     )(x)
+    if return_stats:
+        return out, good, wire
+    return out, good
 
 
 def compressed_reduce_scatter(
@@ -142,8 +212,9 @@ def compressed_reduce_scatter(
     mesh: Mesh,
     axis: str = "data",
     prob_bits: int = 10,
-    budget_ratio: Optional[float] = None,
-) -> Tuple[jax.Array, jax.Array]:
+    chunk_words: Optional[int] = None,
+    return_stats: bool = False,
+):
     """Ring sum-reduce-scatter with compressed payloads.
 
     ``x``: (ndev, *shape) — one full-size addend per device (sharded on the
@@ -152,15 +223,14 @@ def compressed_reduce_scatter(
     its addend, where addends are split into ndev equal chunks of their
     flattened float stream (shape (ndev, n/ndev) floats).
 
-    Each of the ndev ring hops moves ONE compressed chunk per device
-    (ratio * n/ndev floats), so per-device wire bytes are ~ratio * n *
-    (ndev+?)/ndev — INDEPENDENT of device count, unlike a gather-then-sum
-    formulation (the reference names fused compressed all-reduce as its
-    never-landed goal, README.md:123-127). Partial sums are compressed with
-    the same float codec, so the reduction is exact (bit-for-bit the sum
-    order of the ring)."""
+    Each of the ndev ring hops moves ONE compressed chunk per device sized
+    by that hop's actual max archive (the reference names fused compressed
+    all-reduce as its never-landed goal, README.md:123-127), so per-device
+    wire bytes are ~ min(ratio, 1) * n * wordsize + chunk rounding —
+    INDEPENDENT of device count. Partial sums are compressed with the same
+    float codec, so the reduction is exact (bit-for-bit the sum order of
+    the ring)."""
     ft = _ft_of(x.dtype)
-    budget_ratio = _resolve_budget(budget_ratio, ft)
     ndev = mesh.shape[axis]
     assert x.shape[0] == ndev, "leading dim must equal mesh axis size"
     n_total = 1
@@ -173,12 +243,15 @@ def compressed_reduce_scatter(
     def fn(local):
         local = local.reshape(local.shape[1:])
         flat32, n, w32 = _to_u32(local)
-        chunk_w = w32 // ndev
-        wire_w = _wire_words(chunk_n, ft, budget_ratio)
+        chunk_32 = w32 // ndev
+        chunk_w = _chunk_words(chunk_32, chunk_words)
+        pad_w = _pad_words(chunk_32, chunk_w)
         d = jax.lax.axis_index(axis)
 
         def chunk(idx):
-            return jax.lax.dynamic_slice(flat32, (idx * chunk_w,), (chunk_w,))
+            return jax.lax.dynamic_slice(
+                flat32, (idx * chunk_32,), (chunk_32,)
+            )
 
         def add_f(a32, b32):
             fa = _from_u32(a32, local.dtype, (chunk_n,))
@@ -187,32 +260,45 @@ def compressed_reduce_scatter(
             return s
 
         def hop(acc32):
-            wire = _encode_wire(acc32, chunk_n, ft, prob_bits, wire_w)
-            moved = jax.lax.ppermute(wire, axis, perm)
-            return _decode_wire(moved, chunk_n, ft, prob_bits, chunk_w)
+            payload, meta = _encode_payload(
+                acc32, chunk_n, ft, prob_bits, pad_w
+            )
+            moved, mmeta, ww = _permute_chunked(
+                payload, meta, axis, perm, chunk_w
+            )
+            dec, ok = _decode_payload(
+                moved, mmeta, chunk_n, ft, prob_bits, chunk_32
+            )
+            return dec, ok, ww
 
         def step(s, carry):
-            acc, good = carry
-            dec, ok = hop(acc)
+            acc, good, wire = carry
+            dec, ok, ww = hop(acc)
             nxt = (d - s - 1) % ndev
-            return add_f(dec, chunk(nxt)), good & ok
+            return add_f(dec, chunk(nxt)), good & ok, wire + ww
 
-        acc, good = jax.lax.fori_loop(
+        acc, good, wire = jax.lax.fori_loop(
             0, ndev - 1, step,
-            (chunk(d % ndev), jnp.bool_(True)), unroll=False,
+            (chunk(d % ndev), jnp.bool_(True), I32(0)), unroll=False,
         )
         # acc now holds the full sum of chunk (d+1)%ndev; one final
         # compressed hop lands chunk d on device d
-        dec, ok = hop(acc)
+        dec, ok, ww = hop(acc)
         good = good & ok
+        wire = wire + ww
         return (
             _from_u32(dec, local.dtype, (chunk_n,))[None],
             good[None],
+            wire[None],
         )
 
-    return shard_map(
-        fn, mesh=mesh, in_specs=(P(axis),), out_specs=(P(axis), P(axis))
+    out, good, wire = shard_map(
+        fn, mesh=mesh, in_specs=(P(axis),),
+        out_specs=(P(axis), P(axis), P(axis)),
     )(x)
+    if return_stats:
+        return out, good, wire
+    return out, good
 
 
 def compressed_all_reduce(
@@ -220,14 +306,14 @@ def compressed_all_reduce(
     mesh: Mesh,
     axis: str = "data",
     prob_bits: int = 10,
-    budget_ratio: Optional[float] = None,
-) -> Tuple[jax.Array, jax.Array]:
+    chunk_words: Optional[int] = None,
+    return_stats: bool = False,
+):
     """Sum-all-reduce = compressed ring reduce-scatter + compressed
     all-gather of the reduced chunks. Per-device wire bytes ~2x the
     compressed addend size, independent of device count (the previous
     gather-every-archive formulation grew linearly with ndev)."""
     ft = _ft_of(x.dtype)
-    budget_ratio = _resolve_budget(budget_ratio, ft)
     ndev = mesh.shape[axis]
     assert x.shape[0] == ndev, "leading dim must equal mesh axis size"
     shape = x.shape[1:]
@@ -236,31 +322,40 @@ def compressed_all_reduce(
         n_total *= dim
     chunk_n = n_total // ndev
 
-    red, good_rs = compressed_reduce_scatter(
-        x, mesh, axis, prob_bits, budget_ratio
+    red, good_rs, wire_rs = compressed_reduce_scatter(
+        x, mesh, axis, prob_bits, chunk_words, return_stats=True
     )
 
-    def gather_fn(local, good_in):
+    def gather_fn(local, good_in, wire_in):
         flat32, n, w32 = _to_u32(local.reshape(-1))
-        wire_w = _wire_words(chunk_n, ft, budget_ratio)
-        wire = _encode_wire(flat32, chunk_n, ft, prob_bits, wire_w)
-        gathered = jax.lax.all_gather(wire, axis)
+        chunk_w = _chunk_words(w32, chunk_words)
+        pad_w = _pad_words(w32, chunk_w)
+        payload, meta = _encode_payload(
+            flat32, chunk_n, ft, prob_bits, pad_w
+        )
+        rows, metas, ww = _gather_chunked(payload, meta, axis, ndev, chunk_w)
         decoded, ok = jax.vmap(
-            lambda r: _decode_wire(r, chunk_n, ft, prob_bits, w32)
-        )(gathered)
+            lambda r, m: _decode_payload(r, m, chunk_n, ft, prob_bits, w32)
+        )(rows, metas)
         good = jnp.all(ok) & jnp.all(
             jax.lax.all_gather(good_in.reshape(()), axis)
         )
         full = jax.vmap(
             lambda dw: _from_u32(dw, local.dtype, (chunk_n,))
         )(decoded)
-        return full.reshape((1,) + shape), good[None]
+        return (
+            full.reshape((1,) + shape),
+            good[None],
+            (wire_in.reshape(()) + ww)[None],
+        )
 
-    out, good = shard_map(
-        gather_fn, mesh=mesh, in_specs=(P(axis), P(axis)),
-        out_specs=(P(axis), P(axis)),
-    )(red, good_rs)
+    out, good, wire = shard_map(
+        gather_fn, mesh=mesh, in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )(red, good_rs, wire_rs)
     # every device computed the same replicated sum; row 0 is the value
+    if return_stats:
+        return out, good, wire
     return out, good
 
 
@@ -270,24 +365,31 @@ def compressed_ppermute(
     perm,
     axis: str = "data",
     prob_bits: int = 10,
-    budget_ratio: Optional[float] = None,
-) -> jax.Array:
+    chunk_words: Optional[int] = None,
+    return_stats: bool = False,
+):
     """Point-to-point shard exchange (halo/pipeline style) with compressed
     payloads."""
     ft = _ft_of(x.dtype)
-    budget_ratio = _resolve_budget(budget_ratio, ft)
 
     def fn(local):
         flat32, n, w32 = _to_u32(local)
-        wire_w = _wire_words(n, ft, budget_ratio)
-        wire = _encode_wire(flat32, n, ft, prob_bits, wire_w)
-        moved = jax.lax.ppermute(wire, axis, perm)
-        dec, good = _decode_wire(moved, n, ft, prob_bits, w32)
-        return _from_u32(dec, local.dtype, local.shape), good[None]
+        chunk_w = _chunk_words(w32, chunk_words)
+        pad_w = _pad_words(w32, chunk_w)
+        payload, meta = _encode_payload(flat32, n, ft, prob_bits, pad_w)
+        moved, mmeta, ww = _permute_chunked(
+            payload, meta, axis, perm, chunk_w
+        )
+        dec, good = _decode_payload(moved, mmeta, n, ft, prob_bits, w32)
+        return _from_u32(dec, local.dtype, local.shape), good[None], ww[None]
 
-    return shard_map(
-        fn, mesh=mesh, in_specs=(P(axis),), out_specs=(P(axis), P(axis))
+    out, good, wire = shard_map(
+        fn, mesh=mesh, in_specs=(P(axis),),
+        out_specs=(P(axis), P(axis), P(axis)),
     )(x)
+    if return_stats:
+        return out, good, wire
+    return out, good
 
 
 # -- dtype plumbing ---------------------------------------------------------

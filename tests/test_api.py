@@ -176,6 +176,41 @@ def test_split_size_decompress_stays_on_device(rng):
         C.decompress_data_split_size(False, comp, [400, 8192, 1412])
 
 
+def test_split_size_fp64_both_x64_modes(rng):
+    """fp64 split-size contract: uint32 (lo, hi) pairs without x64 (viewable
+    via as_float64), a real float64 device array with x64 on."""
+    import jax
+
+    splits = [513, 2048]
+    x = normal(rng, sum(splits), "float64")
+    comp, _, _ = C.compress_data_split_size(True, x, splits)
+
+    out, _, success, _, _ = C.decompress_data_split_size(
+        True, comp, splits, dtype=x.dtype
+    )
+    assert np.all(success)
+    assert out.dtype == jax.numpy.uint32 and out.shape == (sum(splits), 2)
+    f64 = C.as_float64(out)
+    assert f64.dtype == np.float64
+    assert np.array_equal(f64.view(np.uint8), x.view(np.uint8))
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        out64, _, success, _, _ = C.decompress_data_split_size(
+            True, comp, splits, dtype=x.dtype
+        )
+        assert np.all(success)
+        assert out64.dtype == jax.numpy.float64
+        assert out64.shape == (sum(splits),)
+        assert np.array_equal(
+            np.asarray(out64).view(np.uint8), x.view(np.uint8)
+        )
+        # as_float64 passes a true float64 array through
+        assert np.array_equal(C.as_float64(out64), np.asarray(out64))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 def test_split_size_raw_alignment_enforced(rng):
     x = rng.integers(0, 256, 1000, dtype=np.uint8)
     with pytest.raises(ValueError, match="4-byte aligned"):

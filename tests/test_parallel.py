@@ -61,13 +61,11 @@ def test_sharded_ans_roundtrip(rng, mesh):
     assert np.array_equal(np.asarray(out), x)
 
 
-# budget covers the data's actual ratio: bf16 N(0,1) ~0.68, fp32 ~0.91
-@pytest.mark.parametrize("dtype,budget", [(jnp.bfloat16, 0.85),
-                                          (jnp.float32, 0.95)])
-def test_compressed_all_gather(rng, mesh, dtype, budget):
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
+def test_compressed_all_gather(rng, mesh, dtype):
     x = jnp.asarray(rng.normal(0, 1, (8, 2048)), dtype)
-    got, ok = jax.jit(
-        lambda v: coll.compressed_all_gather(v, mesh, budget_ratio=budget)
+    got, ok, wire = jax.jit(
+        lambda v: coll.compressed_all_gather(v, mesh, return_stats=True)
     )(x)
     assert np.all(np.asarray(ok))
     assert got.dtype == x.dtype
@@ -75,23 +73,46 @@ def test_compressed_all_gather(rng, mesh, dtype, budget):
     assert np.array_equal(
         np.asarray(got).view(np.uint8), np.asarray(x).view(np.uint8)
     )
+    # two-phase wire: payload words moved track the ACTUAL archive size
+    # (to chunk granularity), and never exceed raw + one chunk
+    raw_w = 2048 * np.dtype(np.float32 if dtype == jnp.float32 else np.float16
+                            ).itemsize // 4
+    assert np.all(np.asarray(wire) <= raw_w + 128)
 
 
-def test_compressed_all_gather_overflow_flagged(rng, mesh):
-    # uniform random bits exceed the wire budget -> flagged, zeros delivered
+def test_compressed_all_gather_incompressible_rides_raw(rng, mesh):
+    # uniform random bits don't compress: the wire protocol falls back to
+    # shipping the raw words (flag 2) -- lossless, ok=True, wire ~= raw
     bits = rng.integers(0, 2**32, (8, 2048), dtype=np.uint64).astype(np.uint32)
     x = jnp.asarray(bits).view(jnp.float32)
-    got, ok = jax.jit(lambda v: coll.compressed_all_gather(v, mesh))(x)
-    assert not np.any(np.asarray(ok))
-    assert not np.any(np.asarray(got).view(np.uint32))
-    # a generous budget always fits (max expansion is ~1.31x + overhead)
-    got2, ok2 = jax.jit(
-        lambda v: coll.compressed_all_gather(v, mesh, budget_ratio=1.5)
+    got, ok, wire = jax.jit(
+        lambda v: coll.compressed_all_gather(v, mesh, return_stats=True)
     )(x)
-    assert np.all(np.asarray(ok2))
+    assert np.all(np.asarray(ok))
     assert np.array_equal(
-        np.asarray(got2).view(np.uint32), np.asarray(x).view(np.uint32)
+        np.asarray(got).view(np.uint32), np.asarray(x).view(np.uint32)
     )
+    # raw shard is 2048 u32 words; wire is that rounded up to one chunk
+    assert np.all(np.asarray(wire) <= 2048 + 128)
+
+
+def test_compressed_all_gather_wire_tracks_ratio(rng, mesh):
+    # compressible bf16: wire words must come in near the natural archive
+    # ratio (~0.68 raw), far below raw -- the static-budget scheme this
+    # replaced always paid ~0.78 regardless of content
+    n = 32768
+    x = jnp.asarray(rng.normal(0, 1, (8, n)), jnp.bfloat16)
+    got, ok, wire = jax.jit(
+        lambda v: coll.compressed_all_gather(v, mesh, return_stats=True)
+    )(x)
+    assert np.all(np.asarray(ok))
+    raw_w = n * 2 // 4
+    from dietgpu_fork_tpu.api.codec import compress_data
+
+    comp, sizes, _ = compress_data(True, [x[0]])
+    natural = int(np.asarray(sizes)[0]) / (n * 2)
+    assert np.all(np.asarray(wire) * 4 <= (natural + 0.02) * n * 2), (
+        np.asarray(wire) * 4 / (n * 2), natural)
 
 
 def test_compressed_all_reduce(rng, mesh):
