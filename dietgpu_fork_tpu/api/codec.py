@@ -139,11 +139,21 @@ def _magic_gather_fn(compress_as_float: bool, sparse: bool, float_type):
 
             total = jnp.clip(m32[:, 0].astype(I32), 0, None)
             base = 4 + _bitmap_words(total)
+        hdr0 = jnp.take_along_axis(
+            m32, jnp.clip(base[:, None], 0, CW - 1), axis=1
+        )[:, 0]
         nf = jnp.take_along_axis(
             m32, jnp.clip(base[:, None] + 1, 0, CW - 1), axis=1
         )[:, 0].astype(I32)
         s1w, s2w = _section_word_counts(jnp.clip(nf, 0, None), float_type)
-        off = base + 8 + s1w + s2w
+        # v2 (aligned) float containers place sections on 128-word
+        # boundaries; v2 implies native streams either way
+        from ..models.float_codec import _FLOAT_MAGIC_VERSION2, _r128
+
+        is_al = hdr0 == jnp.uint32(_FLOAT_MAGIC_VERSION2)
+        off = base + jnp.where(
+            is_al, 128 + _r128(s1w) + _r128(s2w), 8 + s1w + s2w
+        )
         return jnp.take_along_axis(
             m32, jnp.clip(off[:, None], 0, CW - 1), axis=1
         )[:, 0]

@@ -47,6 +47,15 @@ ANS_VERSION = 0x0001
 ANS_MAGIC_NATIVE = 0xDB0D
 FLOAT_MAGIC = 0xF00F
 FLOAT_VERSION = 0x0001
+# Float container version 2 (native archives only, members with
+# >= FLOAT_ALIGN_MIN floats): raw sections start on 512-byte boundaries so
+# both the compress-side archive merge and the decode-side staging move
+# them with full-row direct DMAs instead of roll sub-pieces. Costs at most
+# 3*512 B of zero padding per member; self-describing per member through
+# the float magic+version word.
+FLOAT_VERSION_ALIGNED = 0x0002
+FLOAT_ALIGN_MIN = 1 << 20
+FLOAT_SECTION_ALIGN_BYTES = 512
 
 # Every compressed block segment is aligned/padded to this many bytes
 # (reference: GpuANSUtils.cuh:60).

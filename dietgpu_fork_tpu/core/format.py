@@ -23,8 +23,11 @@ from .constants import (
     BLOCK_ALIGNMENT,
     FLOAT_HEADER2_BYTES,
     FLOAT_HEADER_BYTES,
+    FLOAT_ALIGN_MIN,
     FLOAT_MAGIC,
+    FLOAT_SECTION_ALIGN_BYTES,
     FLOAT_VERSION,
+    FLOAT_VERSION_ALIGNED,
     NUM_SYMBOLS,
     SPARSE_HEADER_BYTES,
     WARP_SIZE,
@@ -154,6 +157,11 @@ class FloatHeader:
     use_checksum: bool
     checksum: int = 0
     first_comp_segment_bytes: int = 0  # GpuFloatHeader2 field (fp64 only)
+    # Version-2 container (FLOAT_VERSION_ALIGNED): raw sections start on
+    # FLOAT_SECTION_ALIGN_BYTES boundaries so archive assembly and decode
+    # staging use full-row direct DMAs (native archives with
+    # size >= FLOAT_ALIGN_MIN)
+    aligned: bool = False
 
     @property
     def options(self) -> int:
@@ -161,9 +169,10 @@ class FloatHeader:
 
     def pack(self) -> np.ndarray:
         """Pack GpuFloatHeader + GpuFloatHeader2 to 8 uint32 words."""
+        version = FLOAT_VERSION_ALIGNED if self.aligned else FLOAT_VERSION
         return np.array(
             [
-                (FLOAT_MAGIC << 16) | FLOAT_VERSION,
+                (FLOAT_MAGIC << 16) | version,
                 self.size,
                 self.options,
                 self.checksum,
@@ -181,8 +190,9 @@ class FloatHeader:
         magic_version = int(words[0])
         if magic_version >> 16 != FLOAT_MAGIC:
             raise ValueError(f"bad float magic {magic_version >> 16:#x}")
-        if magic_version & 0xFFFF != FLOAT_VERSION:
-            raise ValueError(f"bad float version {magic_version & 0xFFFF:#x}")
+        version = magic_version & 0xFFFF
+        if version not in (FLOAT_VERSION, FLOAT_VERSION_ALIGNED):
+            raise ValueError(f"bad float version {version:#x}")
         options = int(words[2])
         return FloatHeader(
             size=int(words[1]),
@@ -190,17 +200,39 @@ class FloatHeader:
             use_checksum=bool(options & 0x10),
             checksum=int(words[3]),
             first_comp_segment_bytes=int(words[4]),
+            aligned=version == FLOAT_VERSION_ALIGNED,
         )
 
     @staticmethod
     def uncomp_offset() -> int:
         return FLOAT_HEADER_BYTES + FLOAT_HEADER2_BYTES
 
+    def section_offsets(self):
+        """Byte offsets (sec1, sec2, ans_segment0) of the payload regions.
+        v1: sections packed back to back after the 32-byte headers; v2:
+        each region start rounded up to FLOAT_SECTION_ALIGN_BYTES."""
+        ft = self.float_type
+        n = self.size
+        if ft in (FloatType.FLOAT16, FloatType.BFLOAT16):
+            s1b, s2b = round_up(n, 16), 0
+        elif ft == FloatType.FLOAT32:
+            s1b, s2b = 2 * round_up(n, 8), round_up(n, 16)
+        else:
+            s1b, s2b = 4 * round_up(n, 4), 2 * round_up(n, 8)
+        if self.aligned:
+            a = FLOAT_SECTION_ALIGN_BYTES
+            o1 = a
+            o2 = o1 + round_up(s1b, a)
+            oa = o2 + round_up(s2b, a)
+        else:
+            o1 = FloatHeader.uncomp_offset()
+            o2 = o1 + s1b
+            oa = o2 + s2b
+        return o1, o2, oa
+
     def ans_offset(self, segment: int = 0) -> int:
         """Byte offset of the ANS archive for the given segment."""
-        off = FloatHeader.uncomp_offset() + float_uncomp_data_size(
-            self.float_type, self.size
-        )
+        off = self.section_offsets()[2]
         if segment == 1:
             off += self.first_comp_segment_bytes
         return off

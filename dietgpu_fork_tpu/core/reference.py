@@ -39,6 +39,7 @@ from .constants import (
     FloatType,
     ans_compressed_overhead,
     div_up,
+    FLOAT_ALIGN_MIN,
     float_uncomp_data_size,
     num_blocks,
     round_up,
@@ -752,6 +753,8 @@ def float_compress(
     enc = ans_encode_native if native else ans_encode
     segs = [enc(p, prob_bits=prob_bits, use_checksum=False) for p in comp_planes]
 
+    # native archives with >= FLOAT_ALIGN_MIN floats use the v2 container:
+    # raw sections on 512-byte boundaries (constants.FLOAT_VERSION_ALIGNED)
     header = FloatHeader(
         size=n,
         float_type=ft,
@@ -760,10 +763,11 @@ def float_compress(
         first_comp_segment_bytes=(
             round_up(segs[0].size, 16) if len(segs) > 1 else 0
         ),
+        aligned=native and n >= FLOAT_ALIGN_MIN,
     )
 
-    uncomp_size = float_uncomp_data_size(ft, n)
-    total = 32 + uncomp_size + sum(
+    off1, off2, offa = header.section_offsets()
+    total = offa + sum(
         round_up(s.size, 16) if i + 1 < len(segs) else s.size
         for i, s in enumerate(segs)
     )
@@ -772,21 +776,18 @@ def float_compress(
 
     # Raw (non-compressed) sections, each 16B aligned within the region
     # (GpuFloatUtils.cuh getUncompDataSize; split1 then split2).
-    off = 32
     if ft in (FloatType.FLOAT16, FloatType.BFLOAT16):
-        out[off : off + n] = noncomp[0]
+        out[off1 : off1 + n] = noncomp[0]
     elif ft == FloatType.FLOAT32:
         s1 = noncomp[0].view(np.uint8)
-        out[off : off + 2 * n] = s1
-        off2 = off + 2 * round_up(n, 8)
+        out[off1 : off1 + 2 * n] = s1
         out[off2 : off2 + n] = noncomp[1]
     else:  # FLOAT64
         s1 = noncomp[0].view(np.uint8)
-        out[off : off + 4 * n] = s1
-        off2 = off + 4 * round_up(n, 4)
+        out[off1 : off1 + 4 * n] = s1
         out[off2 : off2 + 2 * n] = noncomp[1].view(np.uint8)
 
-    off = 32 + uncomp_size
+    off = offa
     for i, seg in enumerate(segs):
         out[off : off + seg.size] = seg
         off += round_up(seg.size, 16)
@@ -813,17 +814,15 @@ def float_decompress(archive: np.ndarray) -> Tuple[np.ndarray, FloatHeader]:
         comp_planes.append(plane)
         off += round_up(ans_hdr.total_compressed_size(), 16)
 
-    uoff = 32
+    uoff, o2, _ = header.section_offsets()
     if ft in (FloatType.FLOAT16, FloatType.BFLOAT16):
         noncomp = [buf[uoff : uoff + n]]
     elif ft == FloatType.FLOAT32:
         s1 = buf[uoff : uoff + 2 * n].view(np.uint16)
-        o2 = uoff + 2 * round_up(n, 8)
         s2 = buf[o2 : o2 + n]
         noncomp = [s1, s2]
     else:
         s1 = buf[uoff : uoff + 4 * n].view(U32)
-        o2 = uoff + 4 * round_up(n, 4)
         s2 = buf[o2 : o2 + 2 * n].view(np.uint16)
         noncomp = [s1, s2]
 

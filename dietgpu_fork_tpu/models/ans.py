@@ -76,17 +76,29 @@ def ans_encode_sections(
 ):
     """Encode and return the archive as runs instead of merging them.
 
-    Returns (sections, dst_rel, src_rel, lens, comp_bytes) where
-    ``sections`` is a list of uint32 arrays whose flattened concatenation is
-    the run source blob, and (dst_rel, src_rel, lens) are int32[B, 2+NB]
-    per-member run columns: dst_rel relative to the member's archive word
-    start (ascending within a member), src_rel relative to the start of the
-    blob. Callers place the blob anywhere in a larger source buffer and the
-    archive anywhere in a larger destination (the float codec fuses this
-    into its own archive merge, saving a full intermediate archive
-    write+read — the reference instead points the ANS encoder's OutProvider
-    at the float archive, GpuFloatCompress.cuh:807-869).
+    Returns (small_sections, stream_ref, dst_rel, src_rel, lens,
+    comp_bytes):
+
+    * ``small_sections`` — list of uint32 arrays whose flattened
+      concatenation is the metadata run source (headers, pdf tables,
+      states, blockWords pairs);
+    * ``stream_ref`` — (ref2d uint32[rows, 128], cap_words): the encoder's
+      compressed-stream staging buffer, addressed DIRECTLY by the archive
+      merge (runs_merge_multi) with no intermediate copy;
+    * (dst_rel, src_rel, lens) — int32[B, 2+N] per-member run columns:
+      dst_rel relative to the member's archive word start (ascending
+      within a member); src_rel is a metadata-blob offset, or
+      (1 << 27) | stream-ref word offset for stream runs.
+
+    Callers place the blob/ref anywhere in a larger merge and the archive
+    anywhere in a larger destination (the float codec fuses this into its
+    own archive merge, saving a full intermediate archive write+read — the
+    reference instead points the ANS encoder's OutProvider at the float
+    archive, GpuFloatCompress.cuh:807-869).
     """
+    from ..core.config import use_pallas
+    from ..ops.pallas.merge import _RSH, _src_rows_needed
+
     B, W = x32.shape
     S = s_bytes if s_bytes is not None else 4 * W
     NB = max(1, -(-S // BLOCK_SIZE))
@@ -107,16 +119,37 @@ def ans_encode_sections(
     xp = jnp.pad(x32, ((0, 0), (0, pad))) if pad else x32
 
     packed = pack_encode_table(pdf, cdf, shift)
-    if native:
-        from ..ops.rans_encode import encode_blocks_rows
+    if use_pallas():
+        from ..ops.pallas.rans_encode_fused import (
+            encode_blocks_fused,
+            fused_stream_geometry,
+        )
 
-        states, streams32, num_words = encode_blocks_rows(
-            xp, sizes, packed, magic, prob_bits
+        states, stream_2d, num_words = encode_blocks_fused(
+            xp, sizes, packed, magic, prob_bits, native=native,
+            return_ref=True,
+        )
+        k1, blk_stride, stream_cap = fused_stream_geometry(
+            B, xp.shape[1], native
         )
     else:
-        states, streams32, num_words = encode_blocks(
-            xp, sizes, packed, magic, prob_bits
-        )
+        if native:
+            from ..ops.rans_encode import encode_blocks_rows
+
+            states, streams32, num_words = encode_blocks_rows(
+                xp, sizes, packed, magic, prob_bits
+            )
+        else:
+            states, streams32, num_words = encode_blocks(
+                xp, sizes, packed, magic, prob_bits
+            )
+        k1 = streams32.shape[2]
+        blk_stride = streams32.shape[1]
+        flat = streams32.reshape(-1)
+        stream_cap = flat.shape[0]
+        stream_2d = jnp.pad(
+            flat, (0, _src_rows_needed(stream_cap) * 128 - stream_cap)
+        ).reshape(-1, 128)
 
     nb = _num_blocks_dyn(sizes)
     NR = -(-NB // 4)
@@ -173,11 +206,8 @@ def ans_encode_sections(
          jnp.where(live, prefix.astype(U32), u32(0))], axis=2
     ).reshape(B, 2 * NB)
     PW = pairs.shape[1]
-    K1 = streams32.shape[2]
-    NS = NR if native else NB
-    sections = [meta_src, pairs, streams32.reshape(B, NS * K1)]
+    small_sections = [meta_src, pairs]
     off_pairs = B * MW
-    off_streams = off_pairs + B * PW
 
     b_ar = jnp.arange(B, dtype=I32)
     dstA = jnp.zeros((B, 1), I32)
@@ -186,22 +216,26 @@ def ans_encode_sections(
     dstB = bw_off[:, None]
     srcB = (off_pairs + b_ar * PW)[:, None]
     lenB = (2 * nb)[:, None]
+    stream_tag = 1 << _RSH
     if native:
         # one tightly-packed stream segment per ROW: 4x fewer merge pieces
         row_ar = jnp.arange(NR, dtype=I32)[None, :]
         row_live = row_ar < (-(-nb // 4))[:, None]
         dstC = data_off[:, None] + (row_prefix.astype(I32) >> 1)
-        srcC = off_streams + (b_ar[:, None] * NR + row_ar) * K1
+        srcC = stream_tag + (b_ar[:, None] * blk_stride + row_ar) * k1
         lenC = jnp.where(row_live, (row_words + 1) >> 1, 0)
     else:
         dstC = data_off[:, None] + (prefix.astype(I32) >> 1)
-        srcC = off_streams + (b_ar[:, None] * NB + blk) * K1
+        srcC = stream_tag + (b_ar[:, None] * blk_stride + blk) * k1
         lenC = jnp.where(live, (num_words + 1) >> 1, 0)
 
     dst_rel = jnp.concatenate([dstA, dstB, dstC], axis=1)
     src_rel = jnp.concatenate([srcA, srcB, srcC], axis=1)
     lens = jnp.concatenate([lenA, lenB, lenC], axis=1)
-    return sections, dst_rel, src_rel, lens, comp_bytes
+    return (
+        small_sections, (stream_2d, stream_cap), dst_rel, src_rel, lens,
+        comp_bytes,
+    )
 
 
 def ans_encode_core(
@@ -229,14 +263,16 @@ def ans_encode_core(
 
     Returns (out32 uint32[B, CW_tight], comp_bytes uint32[B]).
     """
-    from ..ops.pallas.merge import runs_merge
+    from ..ops.pallas.merge import _src_rows_needed, runs_merge_multi
 
     B, W = x32.shape
     S = s_bytes if s_bytes is not None else 4 * W
     NB = max(1, -(-S // BLOCK_SIZE))
-    sections, dst_rel, src_rel, lens, comp_bytes = ans_encode_sections(
-        x32, sizes, prob_bits, use_checksum, hist, s_bytes=S,
-        hist_totals=hist_totals, native=native,
+    smalls, (stream_2d, stream_cap), dst_rel, src_rel, lens, comp_bytes = (
+        ans_encode_sections(
+            x32, sizes, prob_bits, use_checksum, hist, s_bytes=S,
+            hist_totals=hist_totals, native=native,
+        )
     )
 
     # tight buffer: metadata + fully incompressible streams for NB blocks
@@ -247,10 +283,15 @@ def ans_encode_core(
     tight = min(max_compressed_size(S), -(-tight_need // 16) * 16)
     out_words = tight // 4
 
-    src_flat = jnp.concatenate([s.reshape(-1) for s in sections])
+    small_flat = jnp.concatenate([s.reshape(-1) for s in smalls])
+    small_cap = small_flat.shape[0]
+    small_2d = jnp.pad(
+        small_flat, (0, _src_rows_needed(small_cap) * 128 - small_cap)
+    ).reshape(-1, 128)
     row0 = (jnp.arange(B, dtype=I32) * out_words)[:, None]
-    out = runs_merge(
-        src_flat,
+    out = runs_merge_multi(
+        (small_2d, stream_2d),
+        (small_cap, stream_cap),
         (dst_rel + row0).reshape(-1),
         src_rel.reshape(-1),
         lens.reshape(-1),

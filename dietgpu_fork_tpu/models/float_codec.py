@@ -33,7 +33,7 @@ from ..core.constants import (
     max_float_compressed_size,
 )
 from ..ops.bitops import bitcast_u32_to_u8, u32
-from ..ops.checksum import checksum_packed, mask_packed_bytes
+from ..ops.checksum import checksum_packed
 from ..ops.float_split import join_packed, split_hist_packed
 from .ans import ans_decode_core, ans_encode_sections
 
@@ -43,6 +43,17 @@ U16 = jnp.uint16
 U8 = jnp.uint8
 
 _FLOAT_MAGIC_VERSION = (0xF00F << 16) | 0x0001
+# Version 2 (native archives with >= FLOAT_ALIGN_MIN floats): raw sections
+# start on 128-word (512 B) boundaries so the archive merge and the decode
+# staging move them with full-row direct DMAs instead of roll sub-pieces
+# (~0.35 ms/16 MiB each way). Costs <= 3*512 B of zero padding per member;
+# the layout is per-member self-describing via this magic.
+_FLOAT_MAGIC_VERSION2 = (0xF00F << 16) | 0x0002
+FLOAT_ALIGN_MIN = 1 << 20
+
+
+def _r128(x):
+    return ((x + 127) // 128) * 128
 
 import os as _os
 
@@ -104,7 +115,9 @@ def float_compress_core(
     ws = FLOAT_WORD_SIZE[ft]
     n = n.astype(I32)
 
-    comp_planes, noncomp, hists, csum_f = split_hist_packed(data32, n, ft)
+    comp_planes, raw_refs, hists, csum_f = split_hist_packed(
+        data32, n, ft, archive=True
+    )
     csum = csum_f if use_checksum else jnp.zeros((B,), U32)
 
     # ANS-encode each exponent plane (independent archives; fp64 has two —
@@ -123,28 +136,24 @@ def float_compress_core(
             hist=hist, native=native,
         )
         seg_parts.append(parts)
-        seg_bytes.append(parts[4].astype(I32))
+        seg_bytes.append(parts[5].astype(I32))
     nsegs = len(seg_parts)
 
-    # raw sections: mask bytes beyond each member's count, pad to the
-    # 16B-aligned capacity (split_packed already emits archive layout)
-    sec_bpi = {  # bytes per float item in each raw section
-        FloatType.FLOAT16: (1,), FloatType.BFLOAT16: (1,),
-        FloatType.FLOAT32: (2, 1), FloatType.FLOAT64: (4, 2),
-    }[ft]
-    sw_caps = _section_word_counts(S_cap, ft)
-    packed_secs = []
-    for sec, bpi, cap in zip(noncomp, sec_bpi, sw_caps):
-        sec = mask_packed_bytes(sec, n * bpi)
-        packed_secs.append(
-            jnp.pad(sec, ((0, 0), (0, max(int(cap) - sec.shape[1], 0))))
-        )
+    # raw sections arrive as tail-masked merge refs straight from the
+    # split kernel (split_hist_packed archive mode) — no driver-side mask
+    # or repack pass; the merge addresses the kernel's staging directly
 
     s1w, s2w = _section_word_counts(n, ft)
+    # aligned (v2) layout per member: native streams + big enough to win
+    is_al = (
+        (n >= FLOAT_ALIGN_MIN) if native else jnp.zeros((B,), bool)
+    )
     first_seg = seg_bytes[0] if nsegs > 1 else jnp.zeros((B,), I32)
     hdr = jnp.stack(
         [
-            jnp.full((B,), _FLOAT_MAGIC_VERSION, U32),
+            jnp.where(
+                is_al, u32(_FLOAT_MAGIC_VERSION2), u32(_FLOAT_MAGIC_VERSION)
+            ),
             n.astype(U32),
             jnp.full((B,), int(ft) | (int(use_checksum) << 4), U32),
             csum,
@@ -156,9 +165,11 @@ def float_compress_core(
         axis=1,
     )
 
-    # region offsets (uint32 words, per member)
-    o1 = 8 + s1w
-    o2 = o1 + s2w
+    # region offsets (uint32 words, per member); v2 aligns section starts
+    # to 128 words
+    o_s1 = jnp.where(is_al, 128, 8)
+    o1 = o_s1 + jnp.where(is_al, _r128(s1w), s1w)
+    o2 = o1 + jnp.where(is_al, _r128(s2w), s2w)
     a1 = o2 + (seg_bytes[0] >> 2)
     end = a1 + ((seg_bytes[1] >> 2) if nsegs > 1 else 0)
 
@@ -172,7 +183,7 @@ def float_compress_core(
         -(-(4 * 136 + 128 * NBp + 8 * ((NBp + 1) // 2 * 2)
             + 4 * _MBW * NBp) // 16) * 16,
     )
-    tight = 4 * (8 + s1w_cap + s2w_cap) + nsegs * ans_tight
+    tight = 4 * (8 + s1w_cap + s2w_cap + 3 * 128) + nsegs * ans_tight
     # row width a multiple of 128 words so every member's raw section
     # lands at dst % 128 == 8 — paired with the 8-word source prefix
     # below, that makes the (large) raw-section run src/dst congruent
@@ -180,65 +191,74 @@ def float_compress_core(
     CWf = min(max_float_compressed_size(ft, S_cap), tight) // 4
     CWf = -(-CWf // 128) * 128
 
-    # archive assembly: ONE ragged runs-merge per batch placing the float
-    # header, raw section(s), and every ANS segment's header/blockWords/
-    # per-block stream runs, ordered by destination within each member
-    from ..ops.pallas.merge import runs_merge
+    # archive assembly: ONE ragged multi-ref runs-merge per batch placing
+    # the float header, raw section(s), and every ANS segment's header/
+    # blockWords/stream runs, ordered by destination within each member.
+    # The big sources (raw sections from the split kernel, stream staging
+    # from the encoder's phase B) are addressed IN PLACE as separate merge
+    # refs — no 38 MB blob concat, no retile, no mask/pad copies (those
+    # three passes cost ~0.66 ms per 16 Mi member before r5).
+    from ..ops.pallas.merge import _RSH, _src_rows_needed, runs_merge_multi
 
-    # sec1 rows get an 8-word zero prefix and 128-multiple width: with
-    # CWf % 128 == 0 the run's src and dst are both == 8 (mod 128), so the
-    # merge moves the bulk of the raw section with full-row direct DMAs
-    # instead of roll-based sub-pieces (sec2's offset o1 is dynamic, so it
-    # stays on the general path)
-    sec1 = packed_secs[0]
-    w1p = -(-(8 + sec1.shape[1]) // 128) * 128
-    sec1 = jnp.pad(sec1, ((0, 0), (8, w1p - 8 - sec1.shape[1])))
-    hdr = jnp.pad(hdr, ((0, 0), (0, 120)))  # width 128: keeps sec1 rows
-    # (which follow hdr in the blob) 128-aligned for every batch size
-    own_sections = [hdr, sec1] + packed_secs[1:]
-    all_sections = list(own_sections)
+    # ref 0: small metadata blob = float headers + each segment's
+    # (header/pdf/states, blockWords) sections
+    small_list = [hdr]
     seg_src_base = []
-    acc = sum(s.size for s in own_sections)
+    acc = hdr.size
     for parts in seg_parts:
         seg_src_base.append(acc)
-        all_sections.extend(parts[0])
+        small_list.extend(parts[0])
         acc += sum(s.size for s in parts[0])
-    src_flat = jnp.concatenate([s.reshape(-1) for s in all_sections])
+    small_flat = jnp.concatenate([s.reshape(-1) for s in small_list])
+    small_cap = small_flat.shape[0]
+    small_2d = jnp.pad(
+        small_flat, (0, _src_rows_needed(small_cap) * 128 - small_cap)
+    ).reshape(-1, 128)
+
+    # refs 1..nsegs: per-segment stream staging; nsegs+1..: raw sections
+    refs = [small_2d] + [parts[1][0] for parts in seg_parts] + [
+        r[0] for r in raw_refs
+    ]
+    caps = [small_cap] + [parts[1][1] for parts in seg_parts] + [
+        r[2] for r in raw_refs
+    ]
+    rid_sec = [(1 + nsegs + i) << _RSH for i in range(len(raw_refs))]
 
     b_ar = jnp.arange(B, dtype=I32)
     row0 = b_ar * CWf
     zeros = jnp.zeros((B,), I32)
-    own_widths = [s.shape[1] for s in own_sections]
-    own_base = []
-    acc0 = 0
-    for w in own_widths:
-        own_base.append(acc0)
-        acc0 += B * w
+    HW = hdr.shape[1]
 
-    if len(packed_secs) == 1:
-        dst_cols = [zeros[:, None], (zeros + 8)[:, None]]
+    sec1_src = (rid_sec[0] + b_ar * raw_refs[0][1])[:, None]
+    if len(raw_refs) == 1:
+        dst_cols = [zeros[:, None], o_s1[:, None]]
+        src_cols = [(b_ar * HW)[:, None], sec1_src]
         len_cols = [(zeros + 8)[:, None], s1w[:, None]]
     else:
-        dst_cols = [zeros[:, None], (zeros + 8)[:, None], o1[:, None]]
+        sec2_src = (rid_sec[1] + b_ar * raw_refs[1][1])[:, None]
+        dst_cols = [zeros[:, None], o_s1[:, None], o1[:, None]]
+        src_cols = [(b_ar * HW)[:, None], sec1_src, sec2_src]
         len_cols = [(zeros + 8)[:, None], s1w[:, None], s2w[:, None]]
-    src_cols = [
-        (own_base[i] + b_ar * own_widths[i])[:, None]
-        for i in range(len(own_sections))
-    ]
-    # sec1's data starts 8 words into its (128-multiple) padded row
-    src_cols[1] = src_cols[1] + 8
     for si, parts in enumerate(seg_parts):
-        a_dst, a_src, a_len = parts[1], parts[2], parts[3]
+        a_dst, a_src, a_len = parts[2], parts[3], parts[4]
         base_col = o2 if si == 0 else a1
+        # stream runs already carry refid 1; shift to refid 1+si.
+        # metadata runs shift into the small blob at this seg's base
+        is_stream = a_src >= (1 << _RSH)
+        a_src = jnp.where(
+            is_stream, a_src + (si << _RSH), a_src + seg_src_base[si]
+        )
         dst_cols.append(a_dst + base_col[:, None])
-        src_cols.append(a_src + seg_src_base[si])
+        src_cols.append(a_src)
         len_cols.append(a_len)
 
     dst = (jnp.concatenate(dst_cols, axis=1) + row0[:, None]).reshape(-1)
     src = jnp.concatenate(src_cols, axis=1).reshape(-1)
     lens = jnp.concatenate(len_cols, axis=1).reshape(-1)
 
-    out = runs_merge(src_flat, dst, src, lens, B * CWf).reshape(B, CWf)
+    out = runs_merge_multi(refs, caps, dst, src, lens, B * CWf).reshape(
+        B, CWf
+    )
 
     comp_bytes = (4 * end).astype(U32)
     return out, comp_bytes
@@ -282,13 +302,16 @@ def float_decompress_core(
     # header validation, as the reference's float decompress kernel does
     # before touching any payload (GpuFloatDecompress.cuh:577-587 checks
     # magic+version and the declared float type): mismatches fold into
-    # per-member success (size reported 0) rather than trapping.
+    # per-member success (size reported 0) rather than trapping. Version 2
+    # = the 128-word-aligned native layout, decided per member.
+    is_al = hdr[:, 0] == u32(_FLOAT_MAGIC_VERSION2)
     valid = (
-        (hdr[:, 0] == u32(_FLOAT_MAGIC_VERSION))
+        ((hdr[:, 0] == u32(_FLOAT_MAGIC_VERSION)) | is_al)
         & ((hdr[:, 2] & u32(0xF)) == u32(int(ft)))
         & (n >= 0)
     )
     n = jnp.where(valid, n, 0)
+    is_al = is_al & valid
     first_seg = jnp.where(valid, first_seg, 0)
 
     if capacities is None:
@@ -296,7 +319,9 @@ def float_decompress_core(
     success = valid & (n <= capacities.astype(I32))
 
     s1w, s2w = _section_word_counts(n, ft)
-    ans_base0 = base32 + 8 + s1w + s2w
+    o_s1 = jnp.where(is_al, 128, 8)
+    o_s2 = o_s1 + jnp.where(is_al, _r128(s1w), s1w)
+    ans_base0 = base32 + o_s2 + jnp.where(is_al, _r128(s2w), s2w)
 
     if (
         ft in (FloatType.FLOAT16, FloatType.BFLOAT16)
@@ -315,7 +340,7 @@ def float_decompress_core(
         dst = b_ar * (NB * 1024)
         lens = jnp.minimum(s1w, NB * 1024)
         raw32 = runs_merge(
-            comp32.reshape(-1), dst, abs_base + 8, lens, B * NB * 1024
+            comp32.reshape(-1), dst, abs_base + o_s1, lens, B * NB * 1024
         ).reshape(B, NB, 1024)
         words32, ok, psize, _ = ans_decode_join16_core(
             comp32, ans_base0, raw32, out_floats, prob_bits,
@@ -362,7 +387,7 @@ def float_decompress_core(
         L1 = NB * 2048
         L2 = NB * 1024
         dst = jnp.concatenate([b_ar * L1, B * L1 + b_ar * L2])
-        src = jnp.concatenate([abs_base + 8, abs_base + 8 + s1w])
+        src = jnp.concatenate([abs_base + o_s1, abs_base + o_s2])
         lens = jnp.concatenate(
             [jnp.minimum(s1w, L1), jnp.minimum(s2w, L2)]
         )
@@ -403,7 +428,7 @@ def float_decompress_core(
     b_ar = jnp.arange(B, dtype=I32)
     abs_base = b_ar * CW + base32
     dst = jnp.concatenate([b_ar * C1, B * C1 + b_ar * C2])
-    src = jnp.concatenate([abs_base + 8, abs_base + 8 + s1w])
+    src = jnp.concatenate([abs_base + o_s1, abs_base + o_s2])
     lens = jnp.concatenate([jnp.minimum(s1w, C1), jnp.minimum(s2w, C2)])
     stage = runs_merge(comp32.reshape(-1), dst, src, lens, B * (C1 + C2))
     sec1_32 = stage[: B * C1].reshape(B, C1)

@@ -121,20 +121,39 @@ def _b(x, k):
 
 
 def split_hist_packed(data32: jax.Array, n_floats: jax.Array,
-                      float_type: FloatType):
+                      float_type: FloatType, archive: bool = False):
     """split_packed plus per-exponent-plane byte histograms and the input
     byte checksum (all fused into the split pass on TPU, like the
     reference's splitFloat+histogram+checksum;
     GpuFloatCompress.cuh:423-551, 702-710). Returns (comp_planes,
     raw_sections, hists, csum) with hists uint32[B, 256] over the first
-    n_floats bytes and csum uint32[B]."""
+    n_floats bytes and csum uint32[B].
+
+    archive=True returns raw sections as merge-ref tuples
+    (cells2d uint32[rows, 128], member_stride_words, cap_words) — tail-
+    masked, addressed directly by runs_merge_multi (see
+    pallas.float_split_fused.split_hist_packed_tpu)."""
     ft = FloatType(float_type)
     if use_pallas():
-        from .pallas.float_split_fused import split_hist_packed_tpu
+        from .pallas.float_split_fused import (
+            split_archive_geometry,
+            split_hist_packed_tpu,
+        )
 
-        return split_hist_packed_tpu(data32, n_floats, ft)
+        comp, raw, hists, csum = split_hist_packed_tpu(
+            data32, n_floats, ft, archive=archive
+        )
+        if archive:
+            geo = split_archive_geometry(
+                data32.shape[0], data32.shape[1], ft
+            )
+            raw = [
+                (cells, stride, cap)
+                for cells, (stride, cap) in zip(raw, geo)
+            ]
+        return comp, raw, hists, csum
     from ..core.constants import FLOAT_WORD_SIZE
-    from .checksum import checksum_packed
+    from .checksum import checksum_packed, mask_packed_bytes
     from .histogram import histogram_packed
 
     comp, raw = split_packed(data32, ft)
@@ -142,6 +161,23 @@ def split_hist_packed(data32: jax.Array, n_floats: jax.Array,
     csum = checksum_packed(
         data32, n_floats.astype(jnp.int32) * FLOAT_WORD_SIZE[ft]
     )
+    if archive:
+        from .pallas.merge import _src_rows_needed
+
+        ws = FLOAT_WORD_SIZE[ft]
+        bpi = {2: (1,), 4: (2, 1), 8: (4, 2)}[ws]
+        refs = []
+        for sec, bp in zip(raw, bpi):
+            sec = mask_packed_bytes(sec, n_floats.astype(jnp.int32) * bp)
+            B, Wsec = sec.shape
+            stride = -(-Wsec // 128) * 128
+            flat = jnp.pad(sec, ((0, 0), (0, stride - Wsec))).reshape(-1)
+            cap = flat.shape[0]
+            flat = jnp.pad(
+                flat, (0, _src_rows_needed(cap) * 128 - cap)
+            )
+            refs.append((flat.reshape(-1, 128), stride, cap))
+        raw = refs
     return comp, raw, hists, csum
 
 

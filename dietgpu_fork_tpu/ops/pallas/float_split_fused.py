@@ -138,6 +138,33 @@ def _xor_accum(x_ref, accx, first, base_word, nbytes):
     accx[...] = accx[...] ^ xm
 
 
+def _mask_tail_words(val, base_word, nbytes):
+    """Zero bytes of a packed-u32 section value at global byte positions
+    >= nbytes (the split's fused raw-section tail mask; replaces the driver
+    side mask_packed_bytes pass). base_word = global u32 index of
+    val[0, ..., 0]; only the member's boundary cell pays the mask chain."""
+    sh = val.shape
+    R = 1
+    for d in sh[:-1]:
+        R *= d
+    v = val.reshape(R, 128)
+    cell_words = R * 128
+
+    def masked():
+        row = jax.lax.broadcasted_iota(I32, (R, 128), 0)
+        widx = base_word + row * 128 + _lane((R, 128))
+        c = jnp.clip(nbytes - 4 * widx, 0, 4).astype(U32)
+        mb = jnp.where(
+            c >= 4, U32(0xFFFFFFFF), (U32(1) << (U32(8) * c)) - U32(1)
+        )
+        return v & mb
+
+    out = jax.lax.cond(
+        base_word + cell_words > (nbytes + 3) // 4, masked, lambda: v
+    )
+    return out.reshape(sh)
+
+
 def _fold_xor_acc(accx):
     """Tree-fold the (R, 128) xor accumulator to the (8, 128) output;
     adaptive cell rows need not be a power of two."""
@@ -238,6 +265,10 @@ def _finish_hist(plane_ref, n_ref, hist_ref, acc):
 def _split16_hist_kernel(n_ref, x_ref, exp_ref, raw_ref, hist_ref, cs_ref,
                          acc, accx, *, rotate: bool, ws: int):
     _split16_kernel(x_ref, exp_ref, raw_ref, rotate=rotate)
+    t = pl.program_id(1)
+    n = n_ref[pl.program_id(0)]
+    R2 = raw_ref.shape[0]
+    raw_ref[...] = _mask_tail_words(raw_ref[...], t * R2 * 128, n)
     _finish_hist(exp_ref, n_ref, hist_ref, acc)
     _finish_csum(x_ref, n_ref, cs_ref, accx, ws)
 
@@ -260,6 +291,13 @@ def _finish_csum(x_ref, n_ref, cs_ref, accx, ws):
 def _split32_hist_kernel(n_ref, x_ref, exp_ref, sec1_ref, sec2_ref,
                          hist_ref, cs_ref, acc, accx):
     _split32_kernel(x_ref, exp_ref, sec1_ref, sec2_ref)
+    t = pl.program_id(1)
+    n = n_ref[pl.program_id(0)]
+    R4 = sec2_ref.shape[0]
+    sec1_ref[...] = _mask_tail_words(
+        sec1_ref[...], t * R4 * 2 * 128, 2 * n
+    )
+    sec2_ref[...] = _mask_tail_words(sec2_ref[...], t * R4 * 128, n)
     _finish_hist(exp_ref, n_ref, hist_ref, acc)
     _finish_csum(x_ref, n_ref, cs_ref, accx, 4)
 
@@ -268,6 +306,12 @@ def _split64_hist_kernel(n_ref, x_ref, exp0_ref, exp1_ref, sec1_ref,
                          sec2_ref, hist0_ref, hist1_ref, cs_ref,
                          acc0, acc1, accx):
     _split64_kernel(x_ref, exp0_ref, exp1_ref, sec1_ref, sec2_ref)
+    nn = n_ref[pl.program_id(0)]
+    tt = pl.program_id(1)
+    R2m = sec1_ref.shape[0]
+    R4m = sec2_ref.shape[0]
+    sec1_ref[...] = _mask_tail_words(sec1_ref[...], tt * R2m * 128, 4 * nn)
+    sec2_ref[...] = _mask_tail_words(sec2_ref[...], tt * R4m * 128, 2 * nn)
     t = pl.program_id(1)
     R = exp0_ref.shape[0]
     n = n_ref[pl.program_id(0)]
@@ -517,18 +561,55 @@ def _fold_csum(cs):
     return (w ^ (w >> U32(8))) & U32(0xFF)
 
 
-@functools.partial(jax.jit, static_argnames=("float_type",))
-def split_hist_packed_tpu(data32, n_floats, float_type: FloatType):
+def split_archive_geometry(B: int, W32: int, float_type: FloatType):
+    """Per-raw-section (member_stride_words, cap_words) of the cells2d
+    refs split_hist_packed_tpu(archive=True) returns; member b's section
+    bytes start at ref word b * stride."""
+    ft = FloatType(float_type)
+    if W32 % {1: 2, 2: 2, 3: 4, 4: 8}[int(ft)]:
+        raise ValueError("W32 must match the split's row padding")
+    rows = _pick_rows(W32)
+    chunk = rows * 128
+    T = -(-W32 // chunk)
+    if ft in (FloatType.FLOAT16, FloatType.BFLOAT16):
+        per_cell = (rows // 2,)
+    elif ft == FloatType.FLOAT32:
+        per_cell = (2 * (rows // 4), rows // 4)
+    else:
+        per_cell = (rows // 2, rows // 4)
+    return [
+        (T * r * 128, B * T * r * 128) for r in per_cell
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=("float_type", "archive"))
+def split_hist_packed_tpu(data32, n_floats, float_type: FloatType,
+                          archive: bool = False):
     """Fused split + per-plane exponent histograms + input checksum (the
     reference's splitFloat+histogram+checksum fusion). Returns
     (comp_planes, raw_sections, hists, csum) with hists uint32[B, 256]
-    masked to n_floats bytes per plane and csum uint32[B] byte XOR."""
+    masked to n_floats bytes per plane and csum uint32[B] byte XOR. Raw
+    sections are tail-masked to the member's bytes IN the kernel.
+
+    archive=True returns each raw section as a MERGE REF tuple
+    (cells2d uint32[rows, 128], member_stride_words, cap_words) instead of
+    a sliced (B, W) array: member b's section bytes start at word
+    b * stride, and the buffer carries >= 80 rows of DMA slack so
+    runs_merge_multi addresses it with zero copies."""
     from .histogram_mxu import _extract
 
     ft = FloatType(float_type)
     rows = _pick_rows(data32.shape[1])
     x, B, T, Wp = _cells(data32, rows)
     C = B * T
+
+    def sec_ref(cells, rows_per_cell):
+        # geometry (stride/cap) is recomputed OUTSIDE the jit by
+        # split_archive_geometry — only the array crosses the jit boundary
+        return cells.reshape(-1, 128)
+
+    def slack(rows_per_cell):
+        return -(-80 // rows_per_cell) if archive else 0
     R2 = rows // 2
     R4 = rows // 4
     R8 = rows // 8
@@ -580,15 +661,19 @@ def split_hist_packed_tpu(data32, n_floats, float_type: FloatType):
             grid_spec=gs,
             out_shape=[
                 jax.ShapeDtypeStruct((C, R2, 128), U32),
-                jax.ShapeDtypeStruct((C, R2, 128), U32),
+                jax.ShapeDtypeStruct((C + slack(R2), R2, 128), U32),
                 hist_shape, cs_shape,
             ],
         )(n32, x)
         hist = _extract(p, B, plane_bytes, n32)
         W2 = W // 2
+        raw_out = (
+            [sec_ref(raw, R2)] if archive
+            else [raw.reshape(B, -1)[:, :W2]]
+        )
         return (
             [exp.reshape(B, -1)[:, :W2]],
-            [raw.reshape(B, -1)[:, :W2]],
+            raw_out,
             [hist],
             _fold_csum(cs),
         )
@@ -608,16 +693,20 @@ def split_hist_packed_tpu(data32, n_floats, float_type: FloatType):
             grid_spec=gs,
             out_shape=[
                 jax.ShapeDtypeStruct((C, R4, 128), U32),
-                jax.ShapeDtypeStruct((C, R4, 2, 128), U32),
-                jax.ShapeDtypeStruct((C, R4, 128), U32),
+                jax.ShapeDtypeStruct((C + slack(2 * R4), R4, 2, 128), U32),
+                jax.ShapeDtypeStruct((C + slack(R4), R4, 128), U32),
                 hist_shape, cs_shape,
             ],
         )(n32, x.reshape(C, R4, 4, 128))
         hist = _extract(p, B, plane_bytes, n32)
+        raw_out = (
+            [sec_ref(sec1, 2 * R4), sec_ref(sec2, R4)] if archive
+            else [sec1.reshape(B, -1)[:, : W // 2],
+                  sec2.reshape(B, -1)[:, : W // 4]]
+        )
         return (
             [exp.reshape(B, -1)[:, : W // 4]],
-            [sec1.reshape(B, -1)[:, : W // 2],
-             sec2.reshape(B, -1)[:, : W // 4]],
+            raw_out,
             [hist],
             _fold_csum(cs),
         )
@@ -642,18 +731,22 @@ def split_hist_packed_tpu(data32, n_floats, float_type: FloatType):
             out_shape=[
                 jax.ShapeDtypeStruct((C, R8, 128), U32),
                 jax.ShapeDtypeStruct((C, R8, 128), U32),
-                jax.ShapeDtypeStruct((C, R2, 128), U32),
-                jax.ShapeDtypeStruct((C, R4, 128), U32),
+                jax.ShapeDtypeStruct((C + slack(R2), R2, 128), U32),
+                jax.ShapeDtypeStruct((C + slack(R4), R4, 128), U32),
                 hist_shape, hist_shape, cs_shape,
             ],
         )(n32, x)
         h0 = _extract(p0, B, plane_bytes, n32)
         h1 = _extract(p1, B, plane_bytes, n32)
+        raw_out = (
+            [sec_ref(sec1, R2), sec_ref(sec2, R4)] if archive
+            else [sec1.reshape(B, -1)[:, : W // 2],
+                  sec2.reshape(B, -1)[:, : W // 4]]
+        )
         return (
             [exp0.reshape(B, -1)[:, : W // 8],
              exp1.reshape(B, -1)[:, : W // 8]],
-            [sec1.reshape(B, -1)[:, : W // 2],
-             sec2.reshape(B, -1)[:, : W // 4]],
+            raw_out,
             [h0, h1],
             _fold_csum(cs),
         )

@@ -293,7 +293,16 @@ import os as _os
 _K3_OFF = _os.environ.get("DIETTPU_MERGE_K3") == "0"
 
 
-def _merge2_kernel(meta_ref, t_s0_ref, src_ref, out_ref, win, sem_w, sem_k):
+# source offsets carry their ref index in the bits above _RSH; each ref is
+# limited to 2^27 words (512 MiB) of addressable source data
+_RSH = 27
+_RMASK = (1 << _RSH) - 1
+
+
+def _merge2_kernel(meta_ref, t_s0_ref, *rest, nrefs: int):
+    src_refs = rest[:nrefs]
+    out_ref = rest[nrefs]
+    win, sem_w, sem_k = rest[nrefs + 1 :]
     t = pl.program_id(0)
     s0 = t_s0_ref[t]
     s1 = t_s0_ref[t + 1]
@@ -301,9 +310,10 @@ def _merge2_kernel(meta_ref, t_s0_ref, src_ref, out_ref, win, sem_w, sem_k):
 
     def piece(s):
         ln_raw = meta_ref[3 * s + 2]
+        enc = meta_ref[3 * s + 1]
         return (
-            meta_ref[3 * s], meta_ref[3 * s + 1], ln_raw & (_K3_FLAG - 1),
-            ln_raw >= _K3_FLAG,
+            meta_ref[3 * s], enc & _RMASK, enc >> _RSH,
+            ln_raw & (_K3_FLAG - 1), ln_raw >= _K3_FLAG,
         )
 
     def _class(ln, k3):
@@ -317,14 +327,14 @@ def _merge2_kernel(meta_ref, t_s0_ref, src_ref, out_ref, win, sem_w, sem_k):
         )
 
     def dma(s, start: bool):
-        _, src, ln, k3 = piece(s)
+        _, src, rid, ln, k3 = piece(s)
         row0 = (src // 1024) * 8
         slot = s % _D2
 
-        def mk(rows):
+        def mk(rows, ref):
             def br():
                 cp = pltpu.make_async_copy(
-                    src_ref.at[pl.ds(row0, rows), :],
+                    ref.at[pl.ds(row0, rows), :],
                     win.at[slot, pl.ds(0, rows), :],
                     sem_w.at[slot],
                 )
@@ -335,15 +345,18 @@ def _merge2_kernel(meta_ref, t_s0_ref, src_ref, out_ref, win, sem_w, sem_k):
 
             return br
 
-        jax.lax.switch(
-            _class(ln, k3),
-            [lambda: None, mk(16), mk(16), mk(_WIN), mk(_LWIN)],
-        )
+        # branch index = class * nrefs + rid (class 0 = no transfer)
+        branches = [lambda: None] * nrefs + [
+            mk(rows, ref)
+            for rows in (16, 16, _WIN, _LWIN)
+            for ref in src_refs
+        ]
+        jax.lax.switch(_class(ln, k3) * nrefs + rid, branches)
 
     def k3_wait(slot):
         # all kind-3 copies share one shape; the wait decrements by size
         pltpu.make_async_copy(
-            src_ref.at[pl.ds(0, _K3R), :],
+            out_ref.at[pl.ds(0, _K3R), :],
             out_ref.at[pl.ds(0, _K3R), :],
             sem_k.at[slot],
         ).wait()
@@ -389,7 +402,7 @@ def _merge2_kernel(meta_ref, t_s0_ref, src_ref, out_ref, win, sem_w, sem_k):
 
     def process(s, carry):
         started, waited = carry
-        dst, src, ln, k3 = piece(s)
+        dst, src, rid, ln, k3 = piece(s)
         dma(s, start=False)
 
         def do_k3(carry):
@@ -402,11 +415,18 @@ def _merge2_kernel(meta_ref, t_s0_ref, src_ref, out_ref, win, sem_w, sem_k):
                 waited,
             )
             r0 = (dst - t * _T2) // 128
-            pltpu.make_async_copy(
-                src_ref.at[pl.ds(src // 128, _K3R), :],
-                out_ref.at[pl.ds(r0, _K3R), :],
-                sem_k.at[started % _DK],
-            ).start()
+
+            def k3_start(ref):
+                def br():
+                    pltpu.make_async_copy(
+                        ref.at[pl.ds(src // 128, _K3R), :],
+                        out_ref.at[pl.ds(r0, _K3R), :],
+                        sem_k.at[started % _DK],
+                    ).start()
+
+                return br
+
+            jax.lax.switch(rid, [k3_start(r) for r in src_refs])
             return started + 1, waited
 
         def do_rmw(carry):
@@ -457,21 +477,49 @@ def _merge2_kernel(meta_ref, t_s0_ref, src_ref, out_ref, win, sem_w, sem_k):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("out_len",))
-def _runs_merge_tpu2(src_flat, dst_off, src_off, lens, *, out_len: int):
+def _src_rows_needed(cap_words: int) -> int:
+    """Rows a source ref must span so every window/k3 DMA against offsets
+    clamped to cap_words stays in bounds."""
+    return (cap_words // 1024) * 8 + _LWIN + 8
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_len", "caps"),
+)
+def _runs_merge_tpu2(srcs, dst_off, src_off, lens, *, out_len: int, caps):
     """v2: split runs into <=_SUB-word sub-pieces that never cross a _T2
     output-tile boundary; each sub-piece is one small aligned DMA window,
     one flat roll, and one 12-row read-modify-write into the tile — no
     full-tile masking and no per-piece size switch (v1 cost ~300ns/piece,
-    v2 ~60ns)."""
+    v2 ~60ns).
+
+    srcs: tuple of (rows, 128) uint32 source refs; src_off encodes the ref
+    index in bits >= _RSH and a word offset below. caps[i] bounds ref i's
+    addressable words; refs shorter than _src_rows_needed(caps[i]) rows are
+    padded here (callers avoid that copy by over-allocating)."""
+    nrefs = len(srcs)
     R = dst_off.shape[0]
     T = -(-out_len // _T2)
 
+    srcs = list(srcs)
+    for i, s in enumerate(srcs):
+        assert caps[i] < (1 << _RSH), "source ref exceeds 512 MiW"
+        need = _src_rows_needed(caps[i])
+        if s.shape[0] < need:
+            srcs[i] = jnp.pad(s, ((0, need - s.shape[0]), (0, 0)))
+
+    caps_d = jnp.asarray(caps, I32)
     dst_off = jnp.clip(dst_off.astype(I32), 0, T * _T2 - 1)
-    src_off = jnp.clip(src_off.astype(I32), 0, src_flat.shape[0])
+    src_off = src_off.astype(I32)
+    rid = jax.lax.shift_right_logical(src_off, I32(_RSH))
+    soff = src_off & _RMASK
+    cap_r = caps_d[jnp.clip(rid, 0, nrefs - 1)]
+    rid = jnp.clip(rid, 0, nrefs - 1)
+    soff = jnp.minimum(soff, cap_r)
+    src_off = soff | (rid << I32(_RSH))
     lens = jnp.clip(
         lens.astype(I32), 0,
-        jnp.minimum(T * _T2 - dst_off, src_flat.shape[0] - src_off),
+        jnp.minimum(T * _T2 - dst_off, cap_r - soff),
     )
 
     # split at tile boundaries (breakpoints = run starts U tile starts).
@@ -517,12 +565,13 @@ def _runs_merge_tpu2(src_flat, dst_off, src_off, lens, *, out_len: int):
     # <=_K3 long tail. The slot->piece map p[slot] = #{ends <= slot} is a
     # scatter-add + cumsum, not a searchsorted.
     R2 = 2 * G + out_len // _K3
+    # _RSH is a multiple of 128's log, so the encoded src's low 7 bits are
+    # the true source alignment
     aligned = (((psrc - breaks) % 128) == 0) & (plen >= 2 * _K3)
     if _K3_OFF:
         aligned = aligned & False
     h = jnp.where(aligned, (-breaks) % 128, 0)
     m = jnp.where(aligned, (plen - h) // _K3, 0)
-    tail_off = h + m * _K3
     nsub = jnp.where(
         aligned, m + 2, jnp.where(plen > _SUB, -(-plen // _LSUB), 1)
     )
@@ -531,32 +580,54 @@ def _runs_merge_tpu2(src_flat, dst_off, src_off, lens, *, out_len: int):
         jnp.where(ends < R2, 1, 0)
     )
     p = jnp.clip(jnp.cumsum(z), 0, G - 1)
-    kidx = jnp.arange(R2, dtype=I32) - (ends[p] - nsub[p])
-    al_p = aligned[p]
+    # expansion gathers are TPU-serial (~33 us per gather at a few thousand
+    # pieces), so everything the per-slot math needs rides FOUR gathers:
+    # breaks, psrc, sub-piece start, and a packed word of
+    # plen (<= _T2, 16b) | h (7b) | m (<= _T2/_K3, 4b) | aligned (1b)
+    start = ends - nsub
+    pk = (
+        plen
+        | (h << 16)
+        | (m << 23)
+        | (aligned.astype(I32) << 27)
+    )
+    g_brk = breaks[p]
+    g_src = psrc[p]
+    g_start = start[p]
+    g_pack = pk[p]
+    plen_p = g_pack & 0xFFFF
+    h_p = (g_pack >> 16) & 0x7F
+    m_p = (g_pack >> 23) & 0xF
+    al_p = (g_pack >> 27) == 1
+    tail_p = h_p + m_p * _K3
+    nsub_p = jnp.where(
+        al_p, m_p + 2, jnp.where(plen_p > _SUB, -(-plen_p // _LSUB), 1)
+    )
+    kidx = jnp.arange(R2, dtype=I32) - g_start
     off = jnp.where(
         al_p,
         jnp.where(
             kidx == 0, 0,
-            jnp.where(kidx <= m[p], h[p] + (kidx - 1) * _K3, tail_off[p]),
+            jnp.where(kidx <= m_p, h_p + (kidx - 1) * _K3, tail_p),
         ),
         kidx * _LSUB,
     )
     len_k = jnp.where(
         al_p,
         jnp.where(
-            kidx == 0, h[p],
-            jnp.where(kidx <= m[p], _K3, plen[p] - tail_off[p]),
+            kidx == 0, h_p,
+            jnp.where(kidx <= m_p, _K3, plen_p - tail_p),
         ),
         jnp.clip(
-            plen[p] - kidx * _LSUB, 0,
-            jnp.where(plen[p] > _SUB, _LSUB, _SUB),
+            plen_p - kidx * _LSUB, 0,
+            jnp.where(plen_p > _SUB, _LSUB, _SUB),
         ),
     )
-    flag = al_p & (kidx >= 1) & (kidx <= m[p])
-    live = (kidx >= 0) & (kidx < nsub[p]) & (len_k > 0)
-    koff = jnp.clip(off, 0, jnp.maximum(plen[p] - 1, 0))
-    sdst = breaks[p] + koff
-    ssrc = psrc[p] + koff
+    flag = al_p & (kidx >= 1) & (kidx <= m_p)
+    live = (kidx >= 0) & (kidx < nsub_p) & (len_k > 0)
+    koff = jnp.clip(off, 0, jnp.maximum(plen_p - 1, 0))
+    sdst = g_brk + koff
+    ssrc = g_src + koff
     slen = jnp.where(live, len_k + flag.astype(I32) * _K3_FLAG, 0)
 
     meta = jnp.stack([sdst, ssrc, slen], axis=1).reshape(-1)
@@ -565,13 +636,10 @@ def _runs_merge_tpu2(src_flat, dst_off, src_off, lens, *, out_len: int):
     ).astype(I32)
     t_s0 = jnp.concatenate([t_s0, jnp.full((1,), R2, I32)])
 
-    pad = (-src_flat.shape[0]) % 1024 + _LWIN * 128 + 1024
-    src2d = jnp.pad(src_flat.astype(U32), (0, pad)).reshape(-1, 128)
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nrefs,
         out_specs=pl.BlockSpec(
             (_T2R, 128), lambda t, m_, s_: (t, 0),
             memory_space=pltpu.VMEM,
@@ -583,22 +651,37 @@ def _runs_merge_tpu2(src_flat, dst_off, src_off, lens, *, out_len: int):
         ],
     )
     out = pallas_call(
-        _merge2_kernel,
+        functools.partial(_merge2_kernel, nrefs=nrefs),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T * _T2R, 128), U32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(meta, t_s0, src2d)
+    )(meta, t_s0, *[s.astype(U32) for s in srcs])
     return out.reshape(-1)[:out_len]
 
 
 @functools.partial(jax.jit, static_argnames=("out_len",))
-def _runs_merge_ref(src_flat, dst_off, src_off, lens, *, out_len: int):
+def _runs_merge_ref(srcs, dst_off, src_off, lens, *, out_len: int):
     """Gather formulation (CPU/interpret reference): for each output word,
-    locate its run by binary search on the sorted dst intervals."""
+    locate its run by binary search on the sorted dst intervals. Multi-ref
+    src offsets are resolved by flattening the refs end to end."""
+    bases = []
+    acc = 0
+    flats = []
+    for s in srcs:
+        bases.append(acc)
+        flats.append(s.reshape(-1))
+        acc += flats[-1].shape[0]
+    src_flat = flats[0] if len(flats) == 1 else jnp.concatenate(flats)
+    bases_d = jnp.asarray(bases, I32)
+
     dst_off = dst_off.astype(I32)
     src_off = src_off.astype(I32)
+    rid = jnp.clip(
+        jax.lax.shift_right_logical(src_off, I32(_RSH)), 0, len(srcs) - 1
+    )
+    src_off = (src_off & _RMASK) + bases_d[rid]
     lens = lens.astype(I32)
     j = jnp.arange(out_len, dtype=I32)
     r = jnp.clip(
@@ -625,7 +708,38 @@ def runs_merge(
     Zero-length runs are allowed.
     """
     if use_pallas():
+        cap = src_flat.shape[0]
+        pad = _src_rows_needed(cap) * 128 - cap  # one pad covers the slack
+        src2d = jnp.pad(src_flat.astype(U32), (0, pad)).reshape(-1, 128)
         return _runs_merge_tpu2(
-            src_flat, dst_off, src_off, lens, out_len=out_len
+            (src2d,), dst_off, src_off, lens, out_len=out_len, caps=(cap,)
         )
-    return _runs_merge_ref(src_flat, dst_off, src_off, lens, out_len=out_len)
+    return _runs_merge_ref(
+        (src_flat,), dst_off, src_off, lens, out_len=out_len
+    )
+
+
+def runs_merge_multi(
+    srcs,
+    caps,
+    dst_off: jax.Array,
+    src_off: jax.Array,
+    lens: jax.Array,
+    out_len: int,
+) -> jax.Array:
+    """Multi-source runs merge: like runs_merge, but sources stay SEPARATE
+    (rows, 128)-shaped uint32 refs — no concatenation/retiling of the
+    source blob. src_off[r] encodes (ref_index << 27) | word_offset; caps[i]
+    bounds ref i's addressable words. Refs whose rows already cover
+    _src_rows_needed(caps[i]) (over-allocation at the producer) incur ZERO
+    copies here — the archive assembly path this was built for
+    (GpuANSEncode.cuh:511-624's coalesce, done as DMAs instead of a
+    gather)."""
+    caps = tuple(int(c) for c in caps)
+    if use_pallas():
+        return _runs_merge_tpu2(
+            tuple(srcs), dst_off, src_off, lens, out_len=out_len, caps=caps
+        )
+    return _runs_merge_ref(
+        tuple(srcs), dst_off, src_off, lens, out_len=out_len
+    )

@@ -418,16 +418,20 @@ _NCHR = 4 * _SOW // 128  # 40 output u32 chunks per row stream
 
 
 def _compact_kernel_rows(
-    nwmax_ref, words_ref, masks_ref, out_ref, csum_s, cq_s, ws, *, G4: int,
+    nwmax_ref, words_ref, masks_ref, out_ref, csum_s, cq_s, nes_s, ws,
+    *, G4: int,
 ):
     """Phase B for the ROW-STREAM native layout. Output u16 index w of a
     row maps to emission (step s, block q, lane lb): s by binary search of
     the row's per-step emission-count cumsum (counts summed over the row's
     4 blocks), q by ranking against the step's per-block popcount prefix
-    (packed c1|c2<<8|c3<<16, each <= 96), lb by a 32-bit rank-select within
-    block q's step mask. Two independent searches per staged u32 word —
-    the per-block kernel's paired-search/ctz shortcut does not carry over
-    because the odd u16 may cross a block boundary within the same step."""
+    (packed c1|c2<<8|c3<<16|c4<<24), lb by a 32-bit rank-select within
+    block q's step mask. Only the EVEN u16 of each staged u32 pays the
+    search + rank-select; its odd partner is the next emission in row
+    order — same block: next set bit (ctz); next block in the same step:
+    first set bit of that block's mask; else: first emission of the next
+    emitting step (a precomputed suffix-min), where its rank is 0 by
+    construction."""
     cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
     ch = pl.program_id(2)
     lane = jax.lax.broadcasted_iota(I32, (G4, 128), 1)
@@ -449,7 +453,15 @@ def _compact_kernel_rows(
             c1.astype(U32)
             | (c2.astype(U32) << U32(8))
             | (c3.astype(U32) << U32(16))
+            | (counts.astype(U32) << U32(24))
         )
+        # next emitting step (exclusive suffix-min of steps with count>0)
+        e = jnp.where(counts > 0, lane, 999)
+        x = jnp.where(lane == 127, 999, pltpu.roll(e, 127, 1))
+        for k in (1, 2, 4, 8, 16, 32, 64):
+            sh = pltpu.roll(x, 128 - k, 1)
+            x = jnp.minimum(x, jnp.where(lane < 128 - k, sh, 999))
+        nes_s[...] = x
 
     base = ch * 256  # first u16 index of this output chunk (128 u32)
 
@@ -457,6 +469,7 @@ def _compact_kernel_rows(
     def _():
         csum = csum_s[...]
         cq = cq_s[...]
+        nes = nes_s[...]
         nw = csum[:, 127:128] + (
             _popcount32(m[0][:, 127:128])
             + _popcount32(m[1][:, 127:128])
@@ -464,38 +477,72 @@ def _compact_kernel_rows(
             + _popcount32(m[3][:, 127:128])
         )
 
-        def locate(w):
-            lo = jnp.zeros((G4, 128), I32)
-            for width in (64, 32, 16, 8, 4, 2, 1):
-                mid = jnp.minimum(lo + width, 127)
-                probe = jnp.take_along_axis(csum, mid, axis=1)
-                lo = jnp.where(probe <= w, mid, lo)
-            s = lo
-            r = w - jnp.take_along_axis(csum, s, axis=1)
-            cqs = jnp.take_along_axis(cq, s, axis=1)
-            c1 = (cqs & U32(0xFF)).astype(I32)
-            c2 = ((cqs >> U32(8)) & U32(0xFF)).astype(I32)
-            c3 = ((cqs >> U32(16)) & U32(0xFF)).astype(I32)
-            q = (
-                (r >= c1).astype(I32)
-                + (r >= c2).astype(I32)
-                + (r >= c3).astype(I32)
-            )
-            mq = jnp.take_along_axis(m[0], s, axis=1)
-            for qq in range(1, 4):
-                g = jnp.take_along_axis(m[qq], s, axis=1)
-                mq = jnp.where(q == qq, g, mq)
-            rsub = r - jnp.where(
-                q == 0,
-                0,
-                jnp.where(q == 1, c1, jnp.where(q == 2, c2, c3)),
-            )
-            lb = _rank_select32(mq, rsub)
-            return s * 128 + q * 32 + lb
-
         w0 = base + lane * 2
-        flat0 = locate(w0)
-        flat1 = locate(w0 + 1)
+        # even u16: binary search for its step
+        lo = jnp.zeros((G4, 128), I32)
+        for width in (64, 32, 16, 8, 4, 2, 1):
+            mid = jnp.minimum(lo + width, 127)
+            probe = jnp.take_along_axis(csum, mid, axis=1)
+            lo = jnp.where(probe <= w0, mid, lo)
+        s0 = lo
+        r0 = w0 - jnp.take_along_axis(csum, s0, axis=1)
+        cqs = jnp.take_along_axis(cq, s0, axis=1)
+        c1 = (cqs & U32(0xFF)).astype(I32)
+        c2 = ((cqs >> U32(8)) & U32(0xFF)).astype(I32)
+        c3 = ((cqs >> U32(16)) & U32(0xFF)).astype(I32)
+        c4 = (cqs >> U32(24)).astype(I32)
+        q0 = (
+            (r0 >= c1).astype(I32)
+            + (r0 >= c2).astype(I32)
+            + (r0 >= c3).astype(I32)
+        )
+        ms0 = [jnp.take_along_axis(mm, s0, axis=1) for mm in m]
+        mq0 = ms0[0]
+        for qq in range(1, 4):
+            mq0 = jnp.where(q0 == qq, ms0[qq], mq0)
+        rsub0 = r0 - jnp.where(
+            q0 == 0, 0, jnp.where(q0 == 1, c1, jnp.where(q0 == 2, c2, c3))
+        )
+        lb0 = _rank_select32(mq0, rsub0)
+        flat0 = s0 * 128 + q0 * 32 + lb0
+
+        # odd u16 = the NEXT emission in row order
+        r1 = r0 + 1
+        same_step = r1 < c4
+        s1 = jnp.where(
+            same_step, s0,
+            jnp.minimum(jnp.take_along_axis(nes, s0, axis=1), 127),
+        )
+        ms1 = [
+            jnp.where(same_step, g, jnp.take_along_axis(mm, s1, axis=1))
+            for g, mm in zip(ms0, m)
+        ]
+        # same step: rank against the step's block prefixes; new step:
+        # its rank is 0, so q1 = number of leading emission-free blocks
+        q1_same = (
+            (r1 >= c1).astype(I32)
+            + (r1 >= c2).astype(I32)
+            + (r1 >= c3).astype(I32)
+        )
+        u01 = ms1[0] | ms1[1]
+        q1_diff = (
+            (ms1[0] == 0).astype(I32)
+            + (u01 == 0).astype(I32)
+            + ((u01 | ms1[2]) == 0).astype(I32)
+        )
+        q1 = jnp.where(same_step, q1_same, q1_diff)
+        m1 = ms1[0]
+        for qq in range(1, 4):
+            m1 = jnp.where(q1 == qq, ms1[qq], m1)
+        # same block: next set bit after lb0 (lb0 = 31 can't be same-block
+        # — there would be no later bit); otherwise first set bit of m1
+        # (rank 0 in its block by construction, both in-step and new-step)
+        above = mq0 >> ((lb0 + 1) & 31).astype(U32)
+        nxt = lb0 + 1 + _ctz32(above)
+        lb1 = jnp.where(
+            same_step & (q1 == q0), nxt, _ctz32(m1)
+        )
+        flat1 = s1 * 128 + q1 * 32 + lb1
         valid0 = w0 < nw
         valid1 = (w0 + 1) < nw
         fc0 = flat0 >> 8
@@ -543,7 +590,29 @@ def _compact_kernel_rows(
         out_ref[...] = jnp.zeros((G4, 128), U32)
 
 
-@functools.partial(jax.jit, static_argnames=("prob_bits", "native", "interpret"))
+def fused_stream_geometry(B: int, padded_w: int, native: bool):
+    """(k1 words-per-stream, stride streams-per-member, cap_words) of the
+    stream staging buffer encode_blocks_fused(return_ref=True) hands back:
+    member b's stream s starts at ref word (b*stride + s) * k1."""
+    WPB = BLOCK_SIZE // 4
+    NB = padded_w // WPB
+    NB4 = -(-NB // 4) * 4
+    NBF = B * NB4
+    G = 256 if NBF >= 256 else max(8, -(-NBF // 8) * 8)
+    G4 = G // 4
+    NBP = -(-NBF // G) * G
+    CELLS = NBP // G
+    if native:
+        k1 = _NCHR * 128
+        return k1, NB4 // 4, CELLS * G4 * k1
+    k1 = _NCH * 128
+    return k1, NB4, CELLS * G * k1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("prob_bits", "native", "interpret", "return_ref"),
+)
 def encode_blocks_fused(
     x32: jax.Array,
     sizes: jax.Array,
@@ -552,6 +621,7 @@ def encode_blocks_fused(
     prob_bits: int,
     native: bool = False,
     interpret: bool = False,
+    return_ref: bool = False,
 ):
     """Pallas path of ops.rans_encode.encode_blocks (same contract).
 
@@ -731,13 +801,16 @@ def encode_blocks_fused(
             scratch_shapes=[
                 pltpu.VMEM((G4, 128), I32),
                 pltpu.VMEM((G4, 128), U32),
+                pltpu.VMEM((G4, 128), I32),
                 pltpu.VMEM((G4, 128), U32),
             ],
         )
+        # one spare cell of DMA slack (>= 80 rows) so the archive merge can
+        # window-read past the last row stream without a padding copy
         streams_t = pallas_call(
             functools.partial(_compact_kernel_rows, G4=G4),
             grid_spec=grid_b,
-            out_shape=jax.ShapeDtypeStruct((CELLS, G4, _NCHR * 128), U32),
+            out_shape=jax.ShapeDtypeStruct((CELLS + 1, G4, _NCHR * 128), U32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             ),
@@ -745,7 +818,20 @@ def encode_blocks_fused(
         )(nwmax, words_pb, masks_pb)
 
         NR = NB4 // 4
-        streams32 = streams_t.reshape(1, NBP // 4, _NCHR * 128)[
+        if return_ref:
+            # stream staging handed back IN PLACE for the archive merge;
+            # fused_stream_geometry gives (k1, stride, cap) for addressing
+            ref2d = streams_t.reshape(-1, 128)
+            num_words = (
+                nw_d.reshape(1, NBP)[:, :NBF].reshape(B, NB4)[:, :NB]
+            )
+            states = (
+                st_d.reshape(CELLS, G4, 4, 32)
+                .reshape(1, NBP, 32)[:, :NBF]
+                .reshape(B, NB4, 32)[:, :NB]
+            )
+            return states, ref2d, num_words
+        streams32 = streams_t[:CELLS].reshape(1, NBP // 4, _NCHR * 128)[
             :, : NBF // 4
         ].reshape(B, NR, _NCHR * 128)
     else:
@@ -790,16 +876,27 @@ def encode_blocks_fused(
         streams_t = pallas_call(
             functools.partial(_compact_kernel, G=G),
             grid_spec=grid_b,
-            out_shape=jax.ShapeDtypeStruct((CELLS, G, _NCH * 128), U32),
+            out_shape=jax.ShapeDtypeStruct((CELLS + 1, G, _NCH * 128), U32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             ),
             interpret=interpret,
         )(nwmax, words_pb, masks_pb)
 
-        streams32 = streams_t.reshape(1, NBP, _NCH * 128)[:, :NBF].reshape(
-            B, NB4, _NCH * 128
-        )[:, :NB]
+        if return_ref:
+            ref2d = streams_t.reshape(-1, 128)
+            num_words = (
+                nw_d.reshape(1, NBP)[:, :NBF].reshape(B, NB4)[:, :NB]
+            )
+            states = (
+                st_d.reshape(CELLS, G4, 4, 32)
+                .reshape(1, NBP, 32)[:, :NBF]
+                .reshape(B, NB4, 32)[:, :NB]
+            )
+            return states, ref2d, num_words
+        streams32 = streams_t[:CELLS].reshape(1, NBP, _NCH * 128)[
+            :, :NBF
+        ].reshape(B, NB4, _NCH * 128)[:, :NB]
 
     # states back to (B, NB, 32): [cell, g4, gb*32+lb] -> [b, nb, 32]
     states = (

@@ -55,7 +55,7 @@ def stage_B(d):  # + ANS sections (hist provided)
     parts = ans_encode_sections(
         comp_planes[0], n, 10, use_checksum=False, s_bytes=S_cap,
         hist=hists[0])
-    return parts[4], parts[0]
+    return parts[5], parts[0]
 
 @jax.jit
 def stage_C(d):  # + raw mask/pad + flat concat (no merge)
@@ -66,7 +66,7 @@ def stage_C(d):  # + raw mask/pad + flat concat (no merge)
     sec = mask_packed_bytes(noncomp[0], n * 1)
     all_sections = [sec] + list(parts[0])
     src_flat = jnp.concatenate([s.reshape(-1) for s in all_sections])
-    return parts[4] ^ src_flat[-1], src_flat[:1]
+    return parts[5] ^ src_flat[-1], src_flat[:1]
 
 @jax.jit
 def stage_D(d):  # full

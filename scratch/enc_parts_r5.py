@@ -69,6 +69,6 @@ print(f"encode fused classic: {chain_time(enc_cls, x32)*1e3:7.3f} ms", flush=Tru
 
 def sections(a):
     parts = ans_encode_sections(a, sizes, 10, s_bytes=N, hist=hist, native=True)
-    return parts[0][2], parts[4]
+    return parts[1][0], parts[5]
 
 print(f"sections (native)   : {chain_time(sections, x32)*1e3:7.3f} ms", flush=True)

@@ -75,7 +75,7 @@ def main():
         parts = ans_encode_sections(
             planes[0], sizes, 10, s_bytes=N, hist=hists[0], native=NATIVE
         )
-        return parts[0][2], noncomp[0]  # streams section + raw
+        return parts[1][0], noncomp[0]  # stream staging ref + raw
 
     def cut_full(d):
         return float_compress_core(d, sizes, ft, 10, native=NATIVE)

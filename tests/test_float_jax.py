@@ -17,12 +17,12 @@ ALL_FT = [FloatType.FLOAT16, FloatType.BFLOAT16, FloatType.FLOAT32,
 
 enc = jax.jit(
     F.float_compress_core,
-    static_argnames=("float_type", "prob_bits", "use_checksum"),
+    static_argnames=("float_type", "prob_bits", "use_checksum", "native"),
 )
 dec = jax.jit(
     F.float_decompress_core,
     static_argnames=(
-        "out_floats", "float_type", "prob_bits", "verify_checksum"
+        "out_floats", "float_type", "prob_bits", "verify_checksum", "native"
     ),
 )
 
@@ -106,3 +106,78 @@ def test_float_capacity_failure(rng):
     )
     assert not bool(success[0])
     assert int(nn[0]) == 5000
+
+
+def test_native_aligned_v2_layout(rng):
+    """Native archives with >= FLOAT_ALIGN_MIN floats use the v2 container
+    (512B-aligned raw sections, float version 2) — byte-exact vs the
+    oracle, self-describing, round-trips; smaller members stay v1 in the
+    SAME batch (the layout is per-member)."""
+    from dietgpu_fork_tpu.core.constants import FLOAT_ALIGN_MIN
+    from dietgpu_fork_tpu.core.format import FloatHeader
+
+    ft = FloatType.BFLOAT16
+    big, small = FLOAT_ALIGN_MIN + 100, FLOAT_ALIGN_MIN - 64
+    sizes = [big, small]
+    words = [make_float_words(rng, ft, n) for n in sizes]
+    d32 = pack_rows(words, big, ft)
+    comp32, cbytes = enc(
+        jnp.array(d32), jnp.array(sizes, jnp.int32), float_type=ft,
+        prob_bits=10, use_checksum=True, native=True,
+    )
+    comp_u8 = np.asarray(comp32).view(np.uint8)
+    cbytes = np.asarray(cbytes)
+    for i, w in enumerate(words):
+        arc = R.float_compress(
+            w, ft, prob_bits=10, use_checksum=True, native=True
+        )
+        hdr = FloatHeader.unpack(arc[:32].view(np.uint32))
+        assert hdr.aligned == (sizes[i] >= FLOAT_ALIGN_MIN)
+        assert cbytes[i] == arc.size
+        assert np.array_equal(comp_u8[i, : arc.size], arc), f"member {i}"
+        # oracle decodes the device archive (cross-check both dirs)
+        got, _ = R.float_decompress(comp_u8[i, : cbytes[i]])
+        assert np.array_equal(got.view(np.uint8), w.view(np.uint8))
+
+    out32, success, nn, ca, cg = dec(
+        jnp.array(np.asarray(comp32)), jnp.zeros((2,), jnp.int32),
+        out_floats=big, float_type=ft, prob_bits=10, verify_checksum=True,
+        native=True,
+    )
+    assert np.all(np.asarray(success))
+    assert np.array_equal(np.asarray(ca), np.asarray(cg))
+    out_u8 = np.asarray(out32).view(np.uint8)
+    for i, w in enumerate(words):
+        assert np.array_equal(out_u8[i, : w.nbytes], w.view(np.uint8))
+
+
+@pytest.mark.parametrize(
+    "ft", [FloatType.FLOAT32, FloatType.FLOAT64]
+)
+def test_native_aligned_v2_two_sections(rng, ft):
+    """v2 alignment for the two-raw-section types (fp32/fp64), incl. the
+    fp64 double-ANS-segment layout."""
+    from dietgpu_fork_tpu.core.constants import FLOAT_ALIGN_MIN
+
+    n = FLOAT_ALIGN_MIN + 13
+    w = make_float_words(rng, ft, n)
+    d32 = pack_rows([w], n, ft)
+    comp32, cbytes = enc(
+        jnp.array(d32), jnp.array([n], jnp.int32), float_type=ft,
+        prob_bits=10, use_checksum=True, native=True,
+    )
+    arc = R.float_compress(w, ft, prob_bits=10, use_checksum=True,
+                           native=True)
+    cb = int(np.asarray(cbytes)[0])
+    assert cb == arc.size
+    assert np.array_equal(
+        np.asarray(comp32).view(np.uint8)[0, : arc.size], arc
+    )
+    out32, success, *_ = dec(
+        jnp.array(np.asarray(comp32)), jnp.zeros((1,), jnp.int32),
+        out_floats=n, float_type=ft, prob_bits=10, native=True,
+    )
+    assert bool(np.asarray(success)[0])
+    assert np.array_equal(
+        np.asarray(out32).view(np.uint8)[0, : w.nbytes], w.view(np.uint8)
+    )
