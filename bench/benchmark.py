@@ -74,13 +74,26 @@ def bench(ft, bs, n, prob_bits=10):
     assert np.array_equal(got, exp) and bool(np.all(np.asarray(out[1])))
 
     def chain(f, x0, perturb, k):
+        # fori_loop chain: compile cost O(1) in k, loop-carried dependence
+        # still defeats CSE/pipelining (see bench/float_benchmark.py)
+        if k == 1:
+            g = jax.jit(f)
+            return lambda: g(x0)
+
         @jax.jit
         def g(x):
-            o = None
-            for i in range(k):
-                o = f(x)
-                x = perturb(x, o, i)
+            out0 = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), jax.eval_shape(f, x)
+            )
+
+            def body(i, carry):
+                xc, _ = carry
+                o = f(xc)
+                return perturb(xc, o, i), o
+
+            _, o = jax.lax.fori_loop(0, k, body, (x, out0))
             return o
+
         return lambda: g(x0)
 
     def p_enc(d, o, i):
@@ -96,7 +109,16 @@ def bench(ft, bs, n, prob_bits=10):
         for _ in range(REPEATS):
             t0 = time.time(); fence(f1()); t1s.append(time.time() - t0)
             t0 = time.time(); fence(fk()); tks.append(time.time() - t0)
-        return max((min(tks) - min(t1s)) / (iters - 1), 2e-6)
+        # chain-minus-single removes dispatch overhead, but if contention
+        # inflates every single-call sample while one chain sample lands in
+        # a quiet window the difference collapses and the bandwidth reads
+        # absurdly high. t_chain/(k+1) is an honest floor: per-iter time is
+        # (t_chain - dispatch)/k and dispatch >= 0.
+        return max(
+            (min(tks) - min(t1s)) / (iters - 1),
+            min(tks) / (iters + 1),
+            2e-6,
+        )
 
     t_e = t_of(chain(enc, data32, p_enc, 1), chain(enc, data32, p_enc, iters))
     t_d = t_of(chain(dec, comp32, p_dec, 1), chain(dec, comp32, p_dec, iters))

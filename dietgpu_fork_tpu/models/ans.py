@@ -88,7 +88,7 @@ def ans_encode_sections(
     * (dst_rel, src_rel, lens) — int32[B, 2+N] per-member run columns:
       dst_rel relative to the member's archive word start (ascending
       within a member); src_rel is a metadata-blob offset, or
-      (1 << 27) | stream-ref word offset for stream runs.
+      (1 << merge._RSH) | stream-ref word offset for stream runs.
 
     Callers place the blob/ref anywhere in a larger merge and the archive
     anywhere in a larger destination (the float codec fuses this into its

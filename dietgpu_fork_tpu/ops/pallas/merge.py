@@ -294,8 +294,11 @@ _K3_OFF = _os.environ.get("DIETTPU_MERGE_K3") == "0"
 
 
 # source offsets carry their ref index in the bits above _RSH; each ref is
-# limited to 2^27 words (512 MiB) of addressable source data
-_RSH = 27
+# limited to 2^28 words (1 GiB) of addressable source data and calls are
+# limited to 7 refs (offsets stay positive int32). 1 GiB covers the
+# reference benchmark maximum (100M fp64 floats -> ~0.9 GiB archive,
+# FloatBenchmark.cu:402-428).
+_RSH = 28
 _RMASK = (1 << _RSH) - 1
 
 
@@ -483,10 +486,84 @@ def _src_rows_needed(cap_words: int) -> int:
     return (cap_words // 1024) * 8 + _LWIN + 8
 
 
+_SMEM_META_BUDGET = 512 * 1024  # bytes of piece metadata per pallas call
+
+
+def _meta_bytes(R: int, out_len: int) -> int:
+    """Worst-case scalar-prefetch (SMEM) footprint of one v2 merge call:
+    meta is 3 int32 per work slot, t_s0 is T+1 int32. SMEM is 1 MiB per
+    core and the compiler needs room for its own scalars, so calls are
+    split when this exceeds _SMEM_META_BUDGET (a 100M-float fp64 archive
+    merge otherwise dies with 'Allocation would exceed memory (space=smem)')."""
+    T = -(-out_len // _T2)
+    R2 = 2 * (R + T) + out_len // _K3
+    return 12 * R2 + 4 * (T + 1)
+
+
+def _runs_merge_tpu2(srcs, dst_off, src_off, lens, *, out_len: int, caps):
+    """SMEM-budget dispatch around the single-call v2 kernel: when the
+    piece metadata for (R runs, out_len words) would overflow SMEM, the
+    output is split into tile-aligned chunks, every run is CLIPPED to each
+    chunk's destination window (runs are sorted and non-overlapping, so
+    clipping preserves the contract; at most one run straddles each
+    boundary), and the chunk outputs are concatenated. The per-chunk
+    metadata keeps the full 2R run-slot term but scales the T and
+    out_len/_K3 terms by 1/C, which is what overflows for huge archives.
+    If 2R alone busts the budget (hundreds of thousands of runs), fall
+    back to the XLA gather formulation — correct, slower, and only
+    reachable for classic-layout archives far beyond the benchmark
+    protocol sizes."""
+    R = dst_off.shape[0]
+    if _meta_bytes(R, out_len) <= _SMEM_META_BUDGET:
+        return _runs_merge_tpu2_single(
+            srcs, dst_off, src_off, lens, out_len=out_len, caps=caps
+        )
+    T = -(-out_len // _T2)
+    for C in range(2, 65):
+        Tc = -(-T // C)
+        if _meta_bytes(R, (Tc + 1) * _T2) <= _SMEM_META_BUDGET:
+            break
+    else:
+        return _runs_merge_ref(
+            tuple(srcs), dst_off, src_off, lens, out_len=out_len
+        )
+
+    dst_off = dst_off.astype(I32)
+    src_off = src_off.astype(I32)
+    lens = lens.astype(I32)
+    rid_bits = src_off & ~_RMASK
+    soff = src_off & _RMASK
+    parts = []
+    base = 0
+    while base < out_len:
+        wlen = min(Tc * _T2, out_len - base)
+        start = jnp.clip(dst_off, base, base + wlen)
+        end = jnp.clip(dst_off + lens, base, base + wlen)
+        shift = start - dst_off
+        # one PAD tile beyond wlen: runs clipped empty at the window end
+        # land at dst == wlen, which must stay a harmless break OUTSIDE
+        # every live interval. Without the pad the single-call clamps
+        # them to wlen-1, where their break steals the window's last
+        # word from the live run covering it (the dead run then "owns"
+        # that word and, being invalid, never writes it).
+        parts.append(
+            _runs_merge_tpu2_single(
+                srcs,
+                start - base,
+                jnp.minimum(soff + shift, _RMASK) | rid_bits,
+                jnp.maximum(end - start, 0),
+                out_len=wlen + _T2,
+                caps=caps,
+            )[:wlen]
+        )
+        base += wlen
+    return jnp.concatenate(parts)
+
+
 @functools.partial(
     jax.jit, static_argnames=("out_len", "caps"),
 )
-def _runs_merge_tpu2(srcs, dst_off, src_off, lens, *, out_len: int, caps):
+def _runs_merge_tpu2_single(srcs, dst_off, src_off, lens, *, out_len: int, caps):
     """v2: split runs into <=_SUB-word sub-pieces that never cross a _T2
     output-tile boundary; each sub-piece is one small aligned DMA window,
     one flat roll, and one 12-row read-modify-write into the tile — no
@@ -503,7 +580,7 @@ def _runs_merge_tpu2(srcs, dst_off, src_off, lens, *, out_len: int, caps):
 
     srcs = list(srcs)
     for i, s in enumerate(srcs):
-        assert caps[i] < (1 << _RSH), "source ref exceeds 512 MiW"
+        assert caps[i] < (1 << _RSH), "source ref exceeds 1 GiW"
         need = _src_rows_needed(caps[i])
         if s.shape[0] < need:
             srcs[i] = jnp.pad(s, ((0, need - s.shape[0]), (0, 0)))

@@ -22,7 +22,7 @@ def rng():
 def test_runs_merge_matches_reference(rng):
     from dietgpu_fork_tpu.ops.pallas.merge import (
         _runs_merge_ref,
-        _runs_merge_tpu2,
+        runs_merge,
     )
 
     src = jnp.asarray(
@@ -34,12 +34,41 @@ def test_runs_merge_matches_reference(rng):
     dst = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int32)
     srco = (rng.integers(0, 1 << 17, 500) * 4).astype(np.int32)
     out_len = int(dst[-1] + lens[-1]) + 12
-    a = _runs_merge_tpu2(
-        src, jnp.asarray(dst), jnp.asarray(srco), jnp.asarray(lens),
-        out_len=out_len,
+    a = runs_merge(
+        src, jnp.asarray(dst), jnp.asarray(srco), jnp.asarray(lens), out_len
     )
     b = _runs_merge_ref(
-        src, jnp.asarray(dst), jnp.asarray(srco), jnp.asarray(lens),
+        (src,), jnp.asarray(dst), jnp.asarray(srco), jnp.asarray(lens),
+        out_len=out_len,
+    )
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_runs_merge_smem_chunked_matches_reference(rng, monkeypatch):
+    """When the piece metadata would overflow SMEM the merge splits into
+    tile-aligned chunks with runs clipped per chunk (merge.py
+    _runs_merge_tpu2). Force a tiny budget so a small case exercises the
+    chunked path, including runs straddling chunk boundaries."""
+    import dietgpu_fork_tpu.ops.pallas.merge as M
+
+    src = jnp.asarray(
+        rng.integers(0, 2**32, 1 << 20, dtype=np.uint64).astype(np.uint32)
+    )
+    lens = (rng.integers(0, 2000, 300) * 4).astype(np.int32)
+    lens[5] = 150000  # straddles several 32768-word tiles/chunks
+    gaps = (rng.integers(0, 3, 300) * 4).astype(np.int32)
+    dst = (np.cumsum(lens + gaps) - (lens + gaps)).astype(np.int32)
+    srco = (rng.integers(0, 1 << 17, 300) * 4).astype(np.int32)
+    out_len = int(dst[-1] + lens[-1]) + 12
+    # budget above the irreducible 2R run-slot term (~7.2 KB for 300 runs)
+    # so the tile-chunked path engages rather than the ref fallback
+    assert M._meta_bytes(300, out_len) > 8192  # chunking will engage
+    monkeypatch.setattr(M, "_SMEM_META_BUDGET", 8192)
+    a = M.runs_merge(
+        src, jnp.asarray(dst), jnp.asarray(srco), jnp.asarray(lens), out_len
+    )
+    b = M._runs_merge_ref(
+        (src,), jnp.asarray(dst), jnp.asarray(srco), jnp.asarray(lens),
         out_len=out_len,
     )
     assert np.array_equal(np.asarray(a), np.asarray(b))
@@ -126,7 +155,7 @@ def test_runs_merge_aligned_direct_dma(rng):
     a multi-tile run shaped like the float codec's raw section."""
     from dietgpu_fork_tpu.ops.pallas.merge import (
         _runs_merge_ref,
-        _runs_merge_tpu2,
+        runs_merge,
     )
 
     out_len = 3_000_000
@@ -138,8 +167,8 @@ def test_runs_merge_aligned_direct_dma(rng):
         rng.integers(1, 2**32, 3_200_000, dtype=np.uint64).astype(np.uint32)
     )
     d, s, l = map(jnp.asarray, (dst, src, lens))
-    got = _runs_merge_tpu2(src_flat, d, s, l, out_len=out_len)
-    want = _runs_merge_ref(src_flat, d, s, l, out_len=out_len)
+    got = runs_merge(src_flat, d, s, l, out_len)
+    want = _runs_merge_ref((src_flat,), d, s, l, out_len=out_len)
     assert np.array_equal(np.asarray(got), np.asarray(want))
 
 
