@@ -302,7 +302,7 @@ _RSH = 28
 _RMASK = (1 << _RSH) - 1
 
 
-def _merge2_kernel(meta_ref, t_s0_ref, *rest, nrefs: int):
+def _merge2_kernel(meta_ref, t_s0_ref, *rest, nrefs: int, rsh: int):
     src_refs = rest[:nrefs]
     out_ref = rest[nrefs]
     win, sem_w, sem_k = rest[nrefs + 1 :]
@@ -311,11 +311,13 @@ def _merge2_kernel(meta_ref, t_s0_ref, *rest, nrefs: int):
     s1 = t_s0_ref[t + 1]
     out_ref[...] = jnp.zeros((_T2R, 128), U32)
 
+    rmask = (1 << rsh) - 1
+
     def piece(s):
         ln_raw = meta_ref[3 * s + 2]
         enc = meta_ref[3 * s + 1]
         return (
-            meta_ref[3 * s], enc & _RMASK, enc >> _RSH,
+            meta_ref[3 * s], enc & rmask, enc >> rsh,
             ln_raw & (_K3_FLAG - 1), ln_raw >= _K3_FLAG,
         )
 
@@ -500,7 +502,8 @@ def _meta_bytes(R: int, out_len: int) -> int:
     return 12 * R2 + 4 * (T + 1)
 
 
-def _runs_merge_tpu2(srcs, dst_off, src_off, lens, *, out_len: int, caps):
+def _runs_merge_tpu2(srcs, dst_off, src_off, lens, *, out_len: int, caps,
+                     rsh: int = _RSH):
     """SMEM-budget dispatch around the single-call v2 kernel: when the
     piece metadata for (R runs, out_len words) would overflow SMEM, the
     output is split into tile-aligned chunks, every run is CLIPPED to each
@@ -516,7 +519,7 @@ def _runs_merge_tpu2(srcs, dst_off, src_off, lens, *, out_len: int, caps):
     R = dst_off.shape[0]
     if _meta_bytes(R, out_len) <= _SMEM_META_BUDGET:
         return _runs_merge_tpu2_single(
-            srcs, dst_off, src_off, lens, out_len=out_len, caps=caps
+            srcs, dst_off, src_off, lens, out_len=out_len, caps=caps, rsh=rsh
         )
     T = -(-out_len // _T2)
     for C in range(2, 65):
@@ -525,14 +528,15 @@ def _runs_merge_tpu2(srcs, dst_off, src_off, lens, *, out_len: int, caps):
             break
     else:
         return _runs_merge_ref(
-            tuple(srcs), dst_off, src_off, lens, out_len=out_len
+            tuple(srcs), dst_off, src_off, lens, out_len=out_len, rsh=rsh
         )
 
     dst_off = dst_off.astype(I32)
     src_off = src_off.astype(I32)
     lens = lens.astype(I32)
-    rid_bits = src_off & ~_RMASK
-    soff = src_off & _RMASK
+    rmask = jnp.int32((1 << rsh) - 1)
+    rid_bits = src_off & ~rmask
+    soff = src_off & rmask
     parts = []
     base = 0
     while base < out_len:
@@ -550,10 +554,11 @@ def _runs_merge_tpu2(srcs, dst_off, src_off, lens, *, out_len: int, caps):
             _runs_merge_tpu2_single(
                 srcs,
                 start - base,
-                jnp.minimum(soff + shift, _RMASK) | rid_bits,
+                jnp.minimum(soff + shift, rmask) | rid_bits,
                 jnp.maximum(end - start, 0),
                 out_len=wlen + _T2,
                 caps=caps,
+                rsh=rsh,
             )[:wlen]
         )
         base += wlen
@@ -561,9 +566,10 @@ def _runs_merge_tpu2(srcs, dst_off, src_off, lens, *, out_len: int, caps):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_len", "caps"),
+    jax.jit, static_argnames=("out_len", "caps", "rsh"),
 )
-def _runs_merge_tpu2_single(srcs, dst_off, src_off, lens, *, out_len: int, caps):
+def _runs_merge_tpu2_single(srcs, dst_off, src_off, lens, *, out_len: int,
+                            caps, rsh: int = _RSH):
     """v2: split runs into <=_SUB-word sub-pieces that never cross a _T2
     output-tile boundary; each sub-piece is one small aligned DMA window,
     one flat roll, and one 12-row read-modify-write into the tile — no
@@ -578,9 +584,13 @@ def _runs_merge_tpu2_single(srcs, dst_off, src_off, lens, *, out_len: int, caps)
     R = dst_off.shape[0]
     T = -(-out_len // _T2)
 
+    rmask = (1 << rsh) - 1
+    assert nrefs <= max(1, (1 << (31 - rsh)) - 1), "too many refs for rsh"
     srcs = list(srcs)
     for i, s in enumerate(srcs):
-        assert caps[i] < (1 << _RSH), "source ref exceeds 1 GiW"
+        assert caps[i] < (1 << rsh), (
+            f"source ref exceeds 2^{rsh} words"
+        )
         need = _src_rows_needed(caps[i])
         if s.shape[0] < need:
             srcs[i] = jnp.pad(s, ((0, need - s.shape[0]), (0, 0)))
@@ -588,12 +598,12 @@ def _runs_merge_tpu2_single(srcs, dst_off, src_off, lens, *, out_len: int, caps)
     caps_d = jnp.asarray(caps, I32)
     dst_off = jnp.clip(dst_off.astype(I32), 0, T * _T2 - 1)
     src_off = src_off.astype(I32)
-    rid = jax.lax.shift_right_logical(src_off, I32(_RSH))
-    soff = src_off & _RMASK
+    rid = jax.lax.shift_right_logical(src_off, I32(rsh))
+    soff = src_off & rmask
     cap_r = caps_d[jnp.clip(rid, 0, nrefs - 1)]
     rid = jnp.clip(rid, 0, nrefs - 1)
     soff = jnp.minimum(soff, cap_r)
-    src_off = soff | (rid << I32(_RSH))
+    src_off = soff | (rid << I32(rsh))
     lens = jnp.clip(
         lens.astype(I32), 0,
         jnp.minimum(T * _T2 - dst_off, cap_r - soff),
@@ -728,7 +738,7 @@ def _runs_merge_tpu2_single(srcs, dst_off, src_off, lens, *, out_len: int, caps)
         ],
     )
     out = pallas_call(
-        functools.partial(_merge2_kernel, nrefs=nrefs),
+        functools.partial(_merge2_kernel, nrefs=nrefs, rsh=rsh),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T * _T2R, 128), U32),
         compiler_params=pltpu.CompilerParams(
@@ -738,8 +748,9 @@ def _runs_merge_tpu2_single(srcs, dst_off, src_off, lens, *, out_len: int, caps)
     return out.reshape(-1)[:out_len]
 
 
-@functools.partial(jax.jit, static_argnames=("out_len",))
-def _runs_merge_ref(srcs, dst_off, src_off, lens, *, out_len: int):
+@functools.partial(jax.jit, static_argnames=("out_len", "rsh"))
+def _runs_merge_ref(srcs, dst_off, src_off, lens, *, out_len: int,
+                    rsh: int = _RSH):
     """Gather formulation (CPU/interpret reference): for each output word,
     locate its run by binary search on the sorted dst intervals. Multi-ref
     src offsets are resolved by flattening the refs end to end."""
@@ -756,9 +767,9 @@ def _runs_merge_ref(srcs, dst_off, src_off, lens, *, out_len: int):
     dst_off = dst_off.astype(I32)
     src_off = src_off.astype(I32)
     rid = jnp.clip(
-        jax.lax.shift_right_logical(src_off, I32(_RSH)), 0, len(srcs) - 1
+        jax.lax.shift_right_logical(src_off, I32(rsh)), 0, len(srcs) - 1
     )
-    src_off = (src_off & _RMASK) + bases_d[rid]
+    src_off = (src_off & jnp.int32((1 << rsh) - 1)) + bases_d[rid]
     lens = lens.astype(I32)
     j = jnp.arange(out_len, dtype=I32)
     r = jnp.clip(
@@ -784,15 +795,19 @@ def runs_merge(
     non-overlapping; source offsets arbitrary; uint32-word granular.
     Zero-length runs are allowed.
     """
+    # single-ref calls never carry a ref id in the offsets, so they get
+    # the full 30-bit word range (4 GiB source) instead of _RSH's 1 GiB —
+    # a 256 x 512Ki fp64 batch already stages >1 GiW of archive rows
     if use_pallas():
         cap = src_flat.shape[0]
         pad = _src_rows_needed(cap) * 128 - cap  # one pad covers the slack
         src2d = jnp.pad(src_flat.astype(U32), (0, pad)).reshape(-1, 128)
         return _runs_merge_tpu2(
-            (src2d,), dst_off, src_off, lens, out_len=out_len, caps=(cap,)
+            (src2d,), dst_off, src_off, lens, out_len=out_len, caps=(cap,),
+            rsh=30,
         )
     return _runs_merge_ref(
-        (src_flat,), dst_off, src_off, lens, out_len=out_len
+        (src_flat,), dst_off, src_off, lens, out_len=out_len, rsh=30
     )
 
 
